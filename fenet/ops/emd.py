@@ -1,0 +1,359 @@
+"""Auction-algorithm Earth Mover's Distance: Pallas TPU kernel + jnp reference.
+
+TPU-native replacement for the reference CUDA extension ``metric/emd``
+(emd_cuda.cu:23-282, emd_module.py:29-95). Same contract:
+
+- inputs ``xyz1`` (pred) and ``xyz2`` (gt), shape (B, N, 3), same N, coords
+  nominally normalized to [0, 1];
+- ``earth_mover_distance(xyz1, xyz2, eps, iters) -> (dist, assignment)`` with
+  per-point *squared* matched distances (B, N) and the int32 index of each
+  pred point's matched gt point (B, N); the assignment is approximate and not
+  guaranteed bijective (emd_module.py:16-19);
+- gradient flows to ``xyz1`` only, as ``2*g*(x1 - x2[assignment])``
+  (emd_cuda.cu:284-300; emd_module.py:79-87 returns zeros for xyz2).
+
+Algorithm redesign for TPU. The CUDA version is built on data-dependent
+compaction of unassigned points plus atomicMax/atomicAdd scatter across seven
+kernels per iteration (emd_cuda.cu:256-267). None of that maps to TPU. This
+implementation runs the *same auction* in a dense, masked, scatter-free form:
+
+  each iteration, every still-unassigned point i bids for its best target
+  column j* with increment (best - second_best + eps), where the bid value is
+  ``3 - ||x1_i - x2_j|| - price_j`` (emd_cuda.cu:146). Winner resolution —
+  CUDA's atomicMax on max_increments + GetMax index match — becomes a
+  per-column max/argmax over the dense (N, N) bid matrix. Eviction — CUDA's
+  assignment_inv bookkeeping — becomes a per-row predicate: a row is evicted
+  iff the column it currently owns was won this iteration. On the final
+  iteration all remaining bidders commit unconditionally, exactly like the
+  CUDA ``last`` flag (emd_cuda.cu:196-215), guaranteeing a total assignment.
+
+The loop exits early once every point is assigned (the CUDA driver keeps
+launching no-op kernels instead, emd_cuda.cu:256). The Pallas kernel holds the
+(N, N) value matrix and all auction state in VMEM and streams row-chunks
+through the VPU, so per-iteration HBM traffic is zero.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fenet.ops.pairwise import pairwise_sqdist
+
+_NEG = -1e9  # "minus infinity" for masked maxima (kept finite, like the CUDA code)
+# Row-chunk processed per phase inside the Pallas kernel.
+_CHUNK = 256
+# Coordinate padding for MXU-friendly contractions.
+_COORD_PAD = 8
+# The kernel keeps the (N, N) value matrix in VMEM; above this, fall back.
+_MAX_N_IN_VMEM = 1024
+
+
+# ---------------------------------------------------------------------------
+# jnp reference (oracle + fallback)
+# ---------------------------------------------------------------------------
+
+
+def _auction_element(x1: jnp.ndarray, x2: jnp.ndarray, eps: float, iters: int):
+    """Dense masked auction for a single (N, 3) pair."""
+    n = x1.shape[0]
+    value = 3.0 - jnp.sqrt(pairwise_sqdist(x1[None], x2[None])[0])  # (N, N)
+    rows = jnp.arange(n, dtype=jnp.int32)
+    cols = rows[None, :]
+
+    def cond(state):
+        it, ass, _ = state
+        return jnp.logical_and(it < iters, jnp.any(ass < 0))
+
+    def body(state):
+        it, ass, price = state
+        last = it == iters - 1
+        unass = ass < 0
+
+        bids = value - price[None, :]
+        best_col = jnp.argmax(bids, axis=1).astype(jnp.int32)
+        best = jnp.max(bids, axis=1)
+        better = jnp.max(jnp.where(cols == best_col[:, None], _NEG, bids), axis=1)
+        inc = best - better + eps
+
+        onehot = (cols == best_col[:, None]) & unass[:, None]
+        w = jnp.where(onehot, inc[:, None], _NEG)
+        winner_inc = jnp.max(w, axis=0)
+        winner_row = jnp.argmax(w, axis=0).astype(jnp.int32)
+        com_col = jnp.any(onehot, axis=0)
+
+        commit = jnp.where(last, unass, unass & (winner_row[best_col] == rows))
+        evicted = (~last) & (ass >= 0) & com_col[jnp.clip(ass, 0)]
+        ass = jnp.where(commit, best_col, jnp.where(evicted, -1, ass))
+        price = jnp.where(
+            last, price, price + jnp.where(com_col, winner_inc, 0.0)
+        )
+        return it + 1, ass, price
+
+    _, ass, _ = jax.lax.while_loop(
+        cond,
+        body,
+        (jnp.int32(0), jnp.full((n,), -1, jnp.int32), jnp.zeros((n,), jnp.float32)),
+    )
+    dist = jnp.sum((x1 - x2[ass]) ** 2, axis=-1)
+    return dist, ass
+
+
+def earth_mover_distance_ref(
+    xyz1: jnp.ndarray, xyz2: jnp.ndarray, eps: float = 0.005, iters: int = 50
+):
+    """Pure-XLA auction EMD. Same outputs as :func:`earth_mover_distance`."""
+    fn = functools.partial(_auction_element, eps=eps, iters=iters)
+    return jax.vmap(fn)(xyz1.astype(jnp.float32), xyz2.astype(jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel
+# ---------------------------------------------------------------------------
+
+
+def _emd_kernel(
+    x1_ref,  # (1, N, CPAD) in VMEM
+    x2_ref,  # (1, N, CPAD)
+    dist_ref,  # (1, N, 1) out
+    ass_out_ref,  # (1, N, 1) out int32
+    value_ref,  # (N, N) scratch f32
+    price_ref,  # (1, N) scratch f32
+    ass_ref,  # (N, 1) scratch i32
+    best_col_ref,  # (N, 1) scratch i32
+    inc_ref,  # (N, 1) scratch f32
+    winner_inc_ref,  # (1, N) scratch f32
+    winner_row_ref,  # (1, N) scratch i32
+    com_col_ref,  # (1, N) scratch i32 (0/1)
+    *,
+    n: int,
+    eps: float,
+    iters: int,
+):
+    x1 = x1_ref[0]  # (N, CPAD)
+    x2 = x2_ref[0]
+
+    # --- init: value matrix 3 - ||x1_i - x2_j||, auction state cleared ------
+    aa = jnp.sum(x1 * x1, axis=1, keepdims=True)
+    bb = jnp.sum(x2 * x2, axis=1, keepdims=True)
+    ab = jax.lax.dot_general(
+        x1, x2, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    value_ref[:, :] = 3.0 - jnp.sqrt(jnp.maximum(aa + bb.T - 2.0 * ab, 0.0))
+    price_ref[:, :] = jnp.zeros((1, n), jnp.float32)
+    ass_ref[:, :] = jnp.full((n, 1), -1, jnp.int32)
+
+    n_chunks = n // _CHUNK
+    chunk_cols = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, n), 1)
+    chunk_rows_local = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, 1), 0)
+
+    def iteration(state):
+        it, _ = state
+        last = it == iters - 1
+
+        # Phase 1: per-row best / second-best bid over the fixed price.
+        def phase1(c, _):
+            sl = pl.ds(c * _CHUNK, _CHUNK)
+            bids = value_ref[sl, :] - price_ref[0:1, :]  # (CHUNK, N)
+            best = jnp.max(bids, axis=1, keepdims=True)
+            bc = jnp.argmax(bids, axis=1, keepdims=True).astype(jnp.int32)
+            better = jnp.max(
+                jnp.where(chunk_cols == bc, _NEG, bids), axis=1, keepdims=True
+            )
+            best_col_ref[sl, :] = bc
+            inc_ref[sl, :] = best - better + eps
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, phase1, 0)
+
+        # Phase 2: per-column winner among unassigned bidders (running
+        # max/argmax across row chunks; strict '>' keeps the first maximum,
+        # matching argmax-over-the-full-axis semantics).
+        winner_inc_ref[:, :] = jnp.full((1, n), _NEG, jnp.float32)
+        winner_row_ref[:, :] = jnp.zeros((1, n), jnp.int32)
+        com_col_ref[:, :] = jnp.zeros((1, n), jnp.int32)
+
+        def phase2(c, _):
+            sl = pl.ds(c * _CHUNK, _CHUNK)
+            unass = ass_ref[sl, :] < 0  # (CHUNK, 1)
+            onehot = (chunk_cols == best_col_ref[sl, :]) & unass
+            w = jnp.where(onehot, inc_ref[sl, :], _NEG)  # (CHUNK, N)
+            cmax = jnp.max(w, axis=0, keepdims=True)  # (1, N)
+            carg = (
+                jnp.argmax(w, axis=0, keepdims=True).astype(jnp.int32)
+                + c * _CHUNK
+            )
+            upd = cmax > winner_inc_ref[0:1, :]
+            winner_row_ref[:, :] = jnp.where(upd, carg, winner_row_ref[0:1, :])
+            winner_inc_ref[:, :] = jnp.where(upd, cmax, winner_inc_ref[0:1, :])
+            com_col_ref[:, :] = jnp.maximum(
+                com_col_ref[0:1, :],
+                jnp.max(onehot.astype(jnp.int32), axis=0, keepdims=True),
+            )
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, phase2, 0)
+
+        # Phase 3: commit winners, evict previous owners of won columns.
+        def phase3(c, n_unass):
+            sl = pl.ds(c * _CHUNK, _CHUNK)
+            ass = ass_ref[sl, :]  # (CHUNK, 1)
+            bc = best_col_ref[sl, :]
+            unass = ass < 0
+            onehot_f = ((chunk_cols == bc) & unass).astype(jnp.float32)
+            wr_at_best = jnp.sum(
+                onehot_f * winner_row_ref[0:1, :].astype(jnp.float32),
+                axis=1,
+                keepdims=True,
+            )  # (CHUNK, 1): winner_row gathered at each row's bid column
+            rows_global = chunk_rows_local + c * _CHUNK
+            won = wr_at_best == rows_global.astype(jnp.float32)
+            # == unass if last else unass & won (Mosaic can't select i1 vecs).
+            commit = unass & jnp.logical_or(won, last)
+            owns = (chunk_cols == ass).astype(jnp.float32)  # -1 never matches
+            col_won = (
+                jnp.sum(owns * com_col_ref[0:1, :].astype(jnp.float32),
+                        axis=1, keepdims=True) > 0
+            )
+            evicted = jnp.logical_and(jnp.logical_not(last), col_won)
+            new_ass = jnp.where(commit, bc, jnp.where(evicted, -1, ass))
+            ass_ref[sl, :] = new_ass
+            return n_unass + jnp.sum((new_ass < 0).astype(jnp.int32))
+
+        n_unass = jax.lax.fori_loop(0, n_chunks, phase3, jnp.int32(0))
+
+        # Price rise on won columns (skipped on the forced final iteration,
+        # where prices are dead anyway — emd_cuda.cu:196-215).
+        @pl.when(jnp.logical_not(last))
+        def _():
+            price_ref[:, :] = price_ref[0:1, :] + jnp.where(
+                com_col_ref[0:1, :] > 0, winner_inc_ref[0:1, :], 0.0
+            )
+
+        return it + 1, n_unass
+
+    jax.lax.while_loop(
+        lambda s: jnp.logical_and(s[0] < iters, s[1] > 0),
+        iteration,
+        (jnp.int32(0), jnp.int32(n)),
+    )
+
+    # Final matched distances via one-hot gather of x2 on the MXU.
+    def finalize(c, _):
+        sl = pl.ds(c * _CHUNK, _CHUNK)
+        onehot = (chunk_cols == ass_ref[sl, :]).astype(jnp.float32)
+        gathered = jax.lax.dot_general(
+            onehot, x2, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (CHUNK, CPAD)
+        diff = x1_ref[0, sl, :] - gathered
+        dist_ref[0, sl, :] = jnp.sum(diff * diff, axis=1, keepdims=True)
+        ass_out_ref[0, sl, :] = ass_ref[sl, :]
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, finalize, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "iters", "interpret"))
+def _emd_pallas(xyz1, xyz2, eps: float, iters: int, interpret: bool = False):
+    b, n, _ = xyz1.shape
+    x1 = jnp.pad(xyz1, ((0, 0), (0, 0), (0, _COORD_PAD - 3)))
+    x2 = jnp.pad(xyz2, ((0, 0), (0, 0), (0, _COORD_PAD - 3)))
+    dist, ass = pl.pallas_call(
+        functools.partial(_emd_kernel, n=n, eps=eps, iters=iters),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, n, _COORD_PAD), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, _COORD_PAD), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, n, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, 1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n, n), jnp.float32),
+            pltpu.VMEM((1, n), jnp.float32),
+            pltpu.VMEM((n, 1), jnp.int32),
+            pltpu.VMEM((n, 1), jnp.int32),
+            pltpu.VMEM((n, 1), jnp.float32),
+            pltpu.VMEM((1, n), jnp.float32),
+            pltpu.VMEM((1, n), jnp.int32),
+            pltpu.VMEM((1, n), jnp.int32),
+        ],
+        interpret=interpret,
+    )(x1, x2)
+    return dist[..., 0], ass[..., 0]
+
+
+def _use_pallas(n: int) -> bool:
+    return (
+        jax.default_backend() == "tpu"
+        and n <= _MAX_N_IN_VMEM
+        and n % _CHUNK == 0
+    )
+
+
+# ---------------------------------------------------------------------------
+# Public op with custom VJP
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def earth_mover_distance(
+    xyz1: jnp.ndarray, xyz2: jnp.ndarray, eps: float = 0.005, iters: int = 50
+):
+    """Approximate EMD matching via the auction algorithm.
+
+    Args:
+      xyz1: (B, N, 3) predicted cloud (gradient flows here only).
+      xyz2: (B, N, 3) ground-truth cloud.
+      eps: price-increment slack; larger converges faster but less accurately
+        (train uses 0.05, eval 0.005 — loss/loss.py:23, utils/metrics.py:51).
+      iters: max auction iterations (train 3000, eval 50). The loop exits as
+        soon as the assignment is total.
+
+    Returns:
+      ``(dist, assignment)``: (B, N) squared matched distances and (B, N)
+      int32 gt indices, as in emd_module.py:16-19.
+    """
+    return _emd_fwd_impl(xyz1, xyz2, eps, iters)
+
+
+def _emd_fwd_impl(xyz1, xyz2, eps, iters):
+    if xyz1.shape != xyz2.shape:
+        raise ValueError(
+            f"EMD requires same-size clouds, got {xyz1.shape} vs {xyz2.shape}"
+        )
+    xyz1 = xyz1.astype(jnp.float32)
+    xyz2 = xyz2.astype(jnp.float32)
+    if _use_pallas(xyz1.shape[1]):
+        return _emd_pallas(xyz1, xyz2, eps, iters)
+    return earth_mover_distance_ref(xyz1, xyz2, eps, iters)
+
+
+def _emd_fwd(xyz1, xyz2, eps, iters):
+    dist, ass = _emd_fwd_impl(xyz1, xyz2, eps, iters)
+    return (dist, ass), (xyz1, xyz2, ass)
+
+
+def _emd_bwd(eps, iters, res, cotangents):
+    xyz1, xyz2, ass = res
+    g, _ = cotangents
+    bidx = jnp.arange(xyz1.shape[0])[:, None]
+    # Gradient to xyz1 only (emd_cuda.cu:284-300, emd_module.py:83-87).
+    dxyz1 = 2.0 * g[..., None] * (xyz1 - xyz2[bidx, ass])
+    return dxyz1, jnp.zeros_like(xyz2)
+
+
+earth_mover_distance.defvjp(_emd_fwd, _emd_bwd)

@@ -1,0 +1,28 @@
+"""Batched pairwise squared-distance, the shared primitive under Chamfer/EMD/ICP.
+
+MXU-friendly formulation: ||a-b||^2 = |a|^2 + |b|^2 - 2 a.b, with the cross
+term as a single batched matmul (the same identity the reference's pure-torch
+oracle uses at loss/loss_.py:66-77, but in fp32 on the MXU rather than fp64).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def pairwise_sqdist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """All-pairs squared L2 distances.
+
+    Args:
+      a: (..., N, C) point cloud.
+      b: (..., M, C) point cloud.
+
+    Returns:
+      (..., N, M) squared distances, clamped at 0 (the matmul identity can go
+      slightly negative under fp32 rounding).
+    """
+    aa = jnp.sum(a * a, axis=-1)
+    bb = jnp.sum(b * b, axis=-1)
+    ab = jnp.einsum("...nc,...mc->...nm", a, b, preferred_element_type=jnp.float32)
+    d = aa[..., :, None] + bb[..., None, :] - 2.0 * ab
+    return jnp.maximum(d, 0.0)

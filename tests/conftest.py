@@ -1,0 +1,24 @@
+"""Test harness config: force an 8-device virtual CPU mesh.
+
+Multi-chip sharding is validated on fake CPU devices
+(``--xla_force_host_platform_device_count``); the real single TPU chip is
+exercised by bench.py and the driver's compile checks, not the unit suite.
+"""
+
+import os
+
+# Force CPU regardless of ambient JAX_PLATFORMS (the dev box exposes a real
+# TPU chip; set FENET_TEST_PLATFORM=tpu to run the suite against it).
+os.environ["JAX_PLATFORMS"] = os.environ.get("FENET_TEST_PLATFORM", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# The dev image's sitecustomize imports jax before conftest runs, so the env
+# var alone is too late — update the already-captured config flag as well.
+jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+jax.config.update("jax_enable_x64", False)

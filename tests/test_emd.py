@@ -1,0 +1,100 @@
+"""EMD auction op: assignment validity + gather-recompute oracle + gradient.
+
+The validity checks mirror the reference's own self-test, which verifies the
+returned distances by re-gathering xyz2[assignment] and recomputing in numpy
+and inspects assignment uniqueness (metric/emd/test.py:23-28).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.optimize
+
+from fenet.ops.emd import (
+    _emd_pallas,
+    earth_mover_distance,
+    earth_mover_distance_ref,
+)
+
+
+def _make_clouds(b, n, seed=0):
+    rng = np.random.RandomState(seed)
+    return (
+        rng.rand(b, n, 3).astype(np.float32),
+        rng.rand(b, n, 3).astype(np.float32),
+    )
+
+
+def test_dist_matches_gathered_recompute():
+    x1, x2 = _make_clouds(3, 256)
+    dist, ass = earth_mover_distance(jnp.asarray(x1), jnp.asarray(x2), 0.02, 200)
+    ass = np.asarray(ass)
+    assert (ass >= 0).all() and (ass < 256).all()
+    gathered = x2[np.arange(3)[:, None], ass]
+    np.testing.assert_allclose(
+        np.asarray(dist), ((x1 - gathered) ** 2).sum(-1), rtol=1e-4, atol=1e-6
+    )
+
+
+def test_assignment_near_bijective_and_near_optimal():
+    """With small eps + enough iters the auction should approach the
+    Hungarian optimum and be bijective (auction theory: within n*eps)."""
+    x1, x2 = _make_clouds(2, 128, seed=1)
+    dist, ass = earth_mover_distance(jnp.asarray(x1), jnp.asarray(x2), 0.002, 5000)
+    ass = np.asarray(ass)
+    for b in range(2):
+        assert len(set(ass[b].tolist())) == 128  # bijection
+        c = np.linalg.norm(x1[b][:, None] - x2[b][None], axis=-1)
+        ri, ci = scipy.optimize.linear_sum_assignment(c)
+        opt = c[ri, ci].sum()
+        ours = c[np.arange(128), ass[b]].sum()
+        assert ours <= opt + 128 * 0.002 + 1e-3, (ours, opt)
+
+
+def test_identity_clouds_converge_to_zero():
+    x1, _ = _make_clouds(2, 256, seed=2)
+    dist, ass = earth_mover_distance(jnp.asarray(x1), jnp.asarray(x1), 0.002, 3000)
+    # Matched cost should be tiny (eps-suboptimality allows small residue).
+    assert float(jnp.sqrt(dist).mean()) < 0.05
+
+
+def test_pallas_interpret_matches_ref():
+    x1, x2 = _make_clouds(1, 256, seed=3)
+    d_ref, a_ref = earth_mover_distance_ref(
+        jnp.asarray(x1), jnp.asarray(x2), 0.05, 60
+    )
+    d_pal, a_pal = _emd_pallas(
+        jnp.asarray(x1), jnp.asarray(x2), 0.05, 60, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(a_pal), np.asarray(a_ref))
+    np.testing.assert_allclose(
+        np.asarray(d_pal), np.asarray(d_ref), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_gradient_flows_to_pred_only():
+    x1, x2 = _make_clouds(2, 128, seed=4)
+
+    def loss(a, b):
+        d, _ = earth_mover_distance(a, b, 0.05, 100)
+        return jnp.sqrt(d).mean()
+
+    ga, gb = jax.grad(loss, argnums=(0, 1))(jnp.asarray(x1), jnp.asarray(x2))
+    assert float(jnp.abs(ga).max()) > 0
+    np.testing.assert_array_equal(np.asarray(gb), 0.0)
+
+    # Analytic check: d sqrt(d)/d x1 = (x1 - x2[ass]) / sqrt(d) / (B*N).
+    d, ass = earth_mover_distance(jnp.asarray(x1), jnp.asarray(x2), 0.05, 100)
+    bidx = np.arange(2)[:, None]
+    diff = x1 - x2[bidx, np.asarray(ass)]
+    expected = diff / np.maximum(np.sqrt(np.asarray(d))[..., None], 1e-12) / (2 * 128)
+    np.testing.assert_allclose(np.asarray(ga), expected, rtol=1e-3, atol=1e-5)
+
+
+def test_early_exit_iters_insensitive_after_convergence():
+    x1, x2 = _make_clouds(1, 128, seed=5)
+    d1, a1 = earth_mover_distance(jnp.asarray(x1), jnp.asarray(x2), 0.05, 500)
+    d2, a2 = earth_mover_distance(jnp.asarray(x1), jnp.asarray(x2), 0.05, 800)
+    # Hitting full assignment stops the loop; more iters change nothing.
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
