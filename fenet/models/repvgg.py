@@ -1,0 +1,289 @@
+"""RepVGG in Flax, with structural reparameterization as a pure weight fold.
+
+TPU-native rebuild of the reference's torch RepVGG
+(models/repvgg_edge_nose_NEW_cmlp.py:26-209, models/se_block.py:7-22):
+
+- NHWC layout throughout (XLA's native conv layout on TPU), bfloat16-friendly;
+- train-time block = conv3x3+BN || conv1x1+BN || identity-BN, summed, then
+  optional SE and ReLU (…_cmlp.py:64-73);
+- deploy-time block = a single fused 3x3 conv with bias. Unlike the torch
+  version, which mutates modules in place (``switch_to_deploy``,
+  …_cmlp.py:141-158), the fold here is a *pure function on the params pytree*
+  (:func:`fold_repvgg_params`) applied at load/jit time; the module is simply
+  constructed with ``deploy=True``. The fold math mirrors
+  ``get_equivalent_kernel_bias`` (…_cmlp.py:101-139): BN fused into each
+  branch, 1x1 padded to 3x3, identity as a dirac kernel.
+- all 14 named configs of the reference factory registry (…_cmlp.py:342-418).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Mapping, Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+_BN_EPS = 1e-5  # torch BatchNorm2d default
+_BN_MOMENTUM = 0.9  # flax momentum = 1 - torch momentum (0.1)
+
+
+class SEBlock(nn.Module):
+    """Squeeze-and-excite gate (se_block.py:7-22)."""
+
+    channels: int
+    internal: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        w = jnp.mean(x, axis=(1, 2))  # global average pool, (B, C)
+        w = nn.relu(nn.Dense(self.internal, name="down")(w))
+        w = nn.sigmoid(nn.Dense(self.channels, name="up")(w))
+        return x * w[:, None, None, :]
+
+
+def _conv(out, kernel, stride, padding, groups, name):
+    return nn.Conv(
+        out,
+        (kernel, kernel),
+        strides=(stride, stride),
+        padding=[(padding, padding), (padding, padding)],
+        feature_group_count=groups,
+        use_bias=False,
+        name=name,
+    )
+
+
+def _bn(name, train):
+    return nn.BatchNorm(
+        use_running_average=not train,
+        momentum=_BN_MOMENTUM,
+        epsilon=_BN_EPS,
+        name=name,
+    )
+
+
+class RepVGGBlock(nn.Module):
+    """One RepVGG block; 3x3 stride-s conv unit with reparam branches."""
+
+    out_channels: int
+    stride: int = 1
+    groups: int = 1
+    use_se: bool = False
+    deploy: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        in_channels = x.shape[-1]
+        if self.deploy:
+            out = nn.Conv(
+                self.out_channels,
+                (3, 3),
+                strides=(self.stride, self.stride),
+                padding=[(1, 1), (1, 1)],
+                feature_group_count=self.groups,
+                use_bias=True,
+                name="rbr_reparam",
+            )(x)
+        else:
+            dense = _bn("rbr_dense_bn", train)(
+                _conv(self.out_channels, 3, self.stride, 1, self.groups,
+                      "rbr_dense_conv")(x)
+            )
+            one = _bn("rbr_1x1_bn", train)(
+                _conv(self.out_channels, 1, self.stride, 0, self.groups,
+                      "rbr_1x1_conv")(x)
+            )
+            out = dense + one
+            if in_channels == self.out_channels and self.stride == 1:
+                out = out + _bn("rbr_identity", train)(x)
+        if self.use_se:
+            out = SEBlock(
+                self.out_channels, self.out_channels // 16, name="se"
+            )(out)
+        return nn.relu(out)
+
+
+@dataclasses.dataclass(frozen=True)
+class RepVGGConfig:
+    num_blocks: Sequence[int]
+    width_multiplier: Sequence[float]
+    override_groups_map: Mapping[int, int] = dataclasses.field(
+        default_factory=dict
+    )
+    use_se: bool = False
+    num_classes: int = 1000
+
+
+_G_LAYERS = (2, 4, 6, 8, 10, 12, 14, 16, 18, 20, 22, 24, 26)
+_G2 = {layer: 2 for layer in _G_LAYERS}
+_G4 = {layer: 4 for layer in _G_LAYERS}
+
+# All factory configs from …_cmlp.py:342-418.
+REPVGG_CONFIGS: Dict[str, RepVGGConfig] = {
+    "RepVGG-A0": RepVGGConfig([2, 4, 14, 1], [0.75, 0.75, 0.75, 2.5]),
+    "RepVGG-A1": RepVGGConfig([2, 4, 14, 1], [1, 1, 1, 2.5]),
+    "RepVGG-A2": RepVGGConfig([2, 4, 14, 1], [1.5, 1.5, 1.5, 2.75]),
+    "RepVGG-B0": RepVGGConfig([4, 6, 16, 1], [1, 1, 1, 2.5]),
+    "RepVGG-B1": RepVGGConfig([4, 6, 16, 1], [2, 2, 2, 4]),
+    "RepVGG-B1g2": RepVGGConfig([4, 6, 16, 1], [2, 2, 2, 4], _G2),
+    "RepVGG-B1g4": RepVGGConfig([4, 6, 16, 1], [2, 2, 2, 4], _G4),
+    "RepVGG-B2": RepVGGConfig([4, 6, 16, 1], [2.5, 2.5, 2.5, 5]),
+    "RepVGG-B2g2": RepVGGConfig([4, 6, 16, 1], [2.5, 2.5, 2.5, 5], _G2),
+    "RepVGG-B2g4": RepVGGConfig([4, 6, 16, 1], [2.5, 2.5, 2.5, 5], _G4),
+    "RepVGG-B3": RepVGGConfig([4, 6, 16, 1], [3, 3, 3, 5]),
+    "RepVGG-B3g2": RepVGGConfig([4, 6, 16, 1], [3, 3, 3, 5], _G2),
+    "RepVGG-B3g4": RepVGGConfig([4, 6, 16, 1], [3, 3, 3, 5], _G4),
+    "RepVGG-D2se": RepVGGConfig(
+        [8, 14, 24, 1], [2.5, 2.5, 2.5, 5], use_se=True
+    ),
+}
+
+
+class RepVGG(nn.Module):
+    """RepVGG backbone: stage0 + 4 stages + GAP + classifier head.
+
+    ``__call__`` mirrors the torch forward (…_cmlp.py:198-208); the generator
+    additionally taps the per-stage feature maps via :meth:`stages`.
+    """
+
+    config: RepVGGConfig
+    deploy: bool = False
+
+    def _stage_plan(self):
+        """(name, out_channels, stride, groups) for every block, in order."""
+        cfg = self.config
+        wm = cfg.width_multiplier
+        in_planes = min(64, int(64 * wm[0]))
+        plan = [("stage0", in_planes, 2, 1)]
+        layer_idx = 1
+        widths = [int(64 * wm[0]), int(128 * wm[1]), int(256 * wm[2]),
+                  int(512 * wm[3])]
+        for stage_i, (planes, blocks) in enumerate(
+            zip(widths, cfg.num_blocks), start=1
+        ):
+            strides = [2] + [1] * (blocks - 1)
+            for block_i, stride in enumerate(strides):
+                groups = cfg.override_groups_map.get(layer_idx, 1)
+                plan.append((f"stage{stage_i}_{block_i}", planes, stride, groups))
+                layer_idx += 1
+        return plan
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        cfg = self.config
+        for name, planes, stride, groups in self._stage_plan():
+            x = RepVGGBlock(
+                planes,
+                stride=stride,
+                groups=groups,
+                use_se=cfg.use_se,
+                deploy=self.deploy,
+                name=name,
+            )(x, train=train)
+            # Expose per-stage feature maps for Grad-CAM style introspection
+            # (models/heatmap.py); retrievable via capture_intermediates.
+            self.sow("intermediates", f"{name}_out", x)
+        x = jnp.mean(x, axis=(1, 2))  # GAP (…_cmlp.py:183, AdaptiveAvgPool(1))
+        return nn.Dense(cfg.num_classes, name="linear")(x)
+
+
+def create_repvgg(name: str, deploy: bool = False) -> RepVGG:
+    """Factory registry lookup (get_RepVGG_func_by_name, …_cmlp.py:419-420)."""
+    return RepVGG(config=REPVGG_CONFIGS[name], deploy=deploy)
+
+
+# ---------------------------------------------------------------------------
+# Structural reparameterization as a pure weight transform
+# ---------------------------------------------------------------------------
+
+
+def _fuse_conv_bn(kernel, bn_scale, bn_bias, bn_mean, bn_var):
+    """Fold BN stats into a conv kernel/bias; kernel is (kh, kw, I, O)."""
+    std = jnp.sqrt(bn_var + _BN_EPS)
+    t = bn_scale / std  # (O,)
+    return kernel * t[None, None, None, :], bn_bias - bn_mean * t
+
+
+def _dirac_kernel(channels: int, groups: int) -> jnp.ndarray:
+    """3x3 identity kernel in (kh, kw, I/groups, O) layout (…_cmlp.py:125-130)."""
+    input_dim = channels // groups
+    k = jnp.zeros((3, 3, input_dim, channels), jnp.float32)
+    o = jnp.arange(channels)
+    return k.at[1, 1, o % input_dim, o].set(1.0)
+
+
+def fold_block(
+    params: Mapping[str, Any],
+    batch_stats: Mapping[str, Any],
+    groups: int = 1,
+) -> Dict[str, Any]:
+    """Fold one RepVGGBlock's branched params into {'rbr_reparam': ...}.
+
+    Equivalent of get_equivalent_kernel_bias (…_cmlp.py:101-139), in flax
+    (kh, kw, I, O) layout.
+    """
+    k3, b3 = _fuse_conv_bn(
+        params["rbr_dense_conv"]["kernel"],
+        params["rbr_dense_bn"]["scale"],
+        params["rbr_dense_bn"]["bias"],
+        batch_stats["rbr_dense_bn"]["mean"],
+        batch_stats["rbr_dense_bn"]["var"],
+    )
+    k1, b1 = _fuse_conv_bn(
+        params["rbr_1x1_conv"]["kernel"],
+        params["rbr_1x1_bn"]["scale"],
+        params["rbr_1x1_bn"]["bias"],
+        batch_stats["rbr_1x1_bn"]["mean"],
+        batch_stats["rbr_1x1_bn"]["var"],
+    )
+    kernel = k3 + jnp.pad(k1, ((1, 1), (1, 1), (0, 0), (0, 0)))
+    bias = b3 + b1
+    if "rbr_identity" in params:
+        channels = kernel.shape[-1]
+        kid, bid = _fuse_conv_bn(
+            _dirac_kernel(channels, groups),
+            params["rbr_identity"]["scale"],
+            params["rbr_identity"]["bias"],
+            batch_stats["rbr_identity"]["mean"],
+            batch_stats["rbr_identity"]["var"],
+        )
+        kernel = kernel + kid
+        bias = bias + bid
+    folded = {"rbr_reparam": {"kernel": kernel, "bias": bias}}
+    if "se" in params:
+        folded["se"] = params["se"]
+    return folded
+
+
+def _is_repvgg_block(subtree) -> bool:
+    return isinstance(subtree, Mapping) and "rbr_dense_conv" in subtree
+
+
+def fold_repvgg_params(
+    params: Mapping[str, Any],
+    batch_stats: Mapping[str, Any],
+    groups_of: Optional[Mapping[str, int]] = None,
+    _path: str = "",
+) -> Dict[str, Any]:
+    """Recursively fold every RepVGG block in a model's variables.
+
+    Returns a params pytree for the ``deploy=True`` module (repvgg_model_convert,
+    …_cmlp.py:440-448, as a pure function). ``groups_of`` maps block path
+    (e.g. 'RepVGG/stage2_1') to its group count when grouped convs are used.
+    """
+    if _is_repvgg_block(params):  # called directly on one block's params
+        return fold_block(params, batch_stats, (groups_of or {}).get(_path, 1))
+    out: Dict[str, Any] = {}
+    for key, sub in params.items():
+        path = f"{_path}/{key}" if _path else key
+        if _is_repvgg_block(sub):
+            groups = (groups_of or {}).get(path, 1)
+            out[key] = fold_block(sub, batch_stats[key], groups)
+        elif isinstance(sub, Mapping):
+            out[key] = fold_repvgg_params(
+                sub, batch_stats.get(key, {}), groups_of, path
+            )
+        else:
+            out[key] = sub
+    return out
