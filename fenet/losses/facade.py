@@ -1,0 +1,77 @@
+"""Training-loss facade with the reference's exact semantics.
+
+Rebuild of loss/loss.py:12-37 (with its missing-torch-import latent bug fixed
+by construction) and the train.py loss schedule (train.py:162-171).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax.numpy as jnp
+
+from fenet.ops.chamfer import chamfer_distance
+from fenet.ops.emd import earth_mover_distance
+
+# Reference operator settings: train-time EMD (loss/loss.py:23) vs eval-time
+# (utils/metrics.py:51).
+TRAIN_EMD_EPS = 0.05
+TRAIN_EMD_ITERS = 3000
+EVAL_EMD_EPS = 0.005
+EVAL_EMD_ITERS = 50
+
+
+def chamfer_loss(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    """mean(dist1) + mean(dist2) of squared NN distances (loss.py:30-37)."""
+    dist1, dist2, _, _ = chamfer_distance(pred, gt)
+    return jnp.mean(dist1) + jnp.mean(dist2)
+
+
+def emd_loss(
+    pred: jnp.ndarray,
+    gt: jnp.ndarray,
+    eps: float = TRAIN_EMD_EPS,
+    iters: int = TRAIN_EMD_ITERS,
+) -> jnp.ndarray:
+    """sqrt of matched squared distances, averaged (loss.py:18-28)."""
+    dist, _ = earth_mover_distance(pred, gt, eps, iters)
+    return jnp.sqrt(dist).mean(axis=1).mean()
+
+
+class Loss:
+    """Object facade mirroring loss/loss.py's class Loss."""
+
+    def __init__(self, radius: float = 1.0):
+        self.radius = radius
+
+    @staticmethod
+    def get_chamfer_loss(pred, gt):
+        return chamfer_loss(pred, gt)
+
+    @staticmethod
+    def get_emd_loss(pred, gt, radius: float = 1.0):
+        return emd_loss(pred, gt)
+
+
+def scheduled_total_loss(
+    pred: jnp.ndarray,
+    gt: jnp.ndarray,
+    epoch: int,
+    lambda_cd: float = 100.0,
+    lambda_emd: float = 100.0,
+    emd_eps: float = TRAIN_EMD_EPS,
+    emd_iters: int = TRAIN_EMD_ITERS,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """The train.py epoch-scheduled loss (train.py:162-171):
+
+    epochs 1-30:  lambda_cd * CD + lambda_emd * EMD
+    epochs 31-50: lambda_emd * EMD (CD still computed for logging)
+    """
+    cd = chamfer_loss(pred, gt)
+    emd = emd_loss(pred, gt, emd_eps, emd_iters)
+    total = jnp.where(
+        jnp.asarray(epoch) > 30,
+        lambda_emd * emd,
+        lambda_cd * cd + lambda_emd * emd,
+    )
+    return total, {"chamfer_loss": cd, "emd_loss": emd}
