@@ -1,0 +1,135 @@
+"""ShapeNet (R2N2 renderings) dataset.
+
+Same on-disk layout and preprocessing semantics as the reference's four
+GetShapenetDataset copies (utils/datasets_old.py:12-54, utils/datasets.py,
+utils/datasets_finetune.py, utils/datasets_FCP.py), merged into one class:
+
+- index = model x 24 views; image `{imgs}/{model}/rendering/{NN}.png`,
+  cropped ``[4:-5, 4:-5, :3]``, BGR->RGB, float32 **without** /255 or
+  normalization (datasets_old.py:30-35);
+- GT cloud `{pcl}/{model}/pointcloud_{N}.npy`;
+- ``variety=True`` additionally returns az/el angles (radians) parsed from
+  ``rendering_metadata.txt`` (datasets_old.py:40-49);
+- ``multi_resolution=True`` returns 128/256/N-point GT clouds, the FCP
+  variant used for validation (datasets_FCP.py:40-62);
+- ``check_exists=True`` skips models with missing files at init
+  (datasets.py:33-43) instead of failing at access time.
+
+Layout difference: images are returned HWC (TPU-native NHWC batches); the
+reference transposes to CHW for torch.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+NUM_VIEWS = 24
+HEIGHT = 128
+WIDTH = 128
+
+# The reference's 13 ShapeNet category ids (train.py:265-268, testnet.py:112).
+SHAPENET_CATEGORIES: Dict[str, str] = {
+    "airplane": "02691156",
+    "bench": "02828884",
+    "cabinet": "02933112",
+    "car": "02958343",
+    "lamp": "03636649",
+    "monitor": "03211117",
+    "rifle": "04090263",
+    "sofa": "04256520",
+    "speaker": "03691459",
+    "table": "04379243",
+    "telephone": "04401088",
+    "vessel": "04530566",
+    "chair": "03001627",
+}
+
+
+def _imread_rgb(path: str) -> np.ndarray:
+    import cv2
+
+    img = cv2.imread(path)
+    if img is None:
+        raise FileNotFoundError(path)
+    return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+
+def load_split(splits_path: str, name: str) -> Dict[str, List[str]]:
+    """Load train_models.json / val_models.json (train.py:63-66)."""
+    with open(os.path.join(splits_path, name)) as f:
+        return json.load(f)
+
+
+class ShapeNetDataset:
+    def __init__(
+        self,
+        data_dir_imgs: str,
+        data_dir_pcl: str,
+        models: Dict[str, Sequence[str]],
+        cats: Sequence[str],
+        num_points: int = 1024,
+        variety: bool = False,
+        multi_resolution: bool = False,
+        check_exists: bool = False,
+        transform=None,
+    ):
+        self.data_dir_imgs = data_dir_imgs
+        self.data_dir_pcl = data_dir_pcl
+        self.num_points = num_points
+        self.variety = variety
+        self.multi_resolution = multi_resolution
+        self.transform = transform
+        self.modelnames: List[str] = []
+        for cat in cats:
+            for filename in models[cat]:
+                if check_exists:
+                    pcl = os.path.join(
+                        data_dir_pcl, filename, f"pointcloud_{num_points}.npy"
+                    )
+                    img = os.path.join(
+                        data_dir_imgs, filename, "rendering", "00.png"
+                    )
+                    if not (os.path.exists(pcl) and os.path.exists(img)):
+                        continue
+                self.modelnames.extend([filename] * NUM_VIEWS)
+
+    def __len__(self) -> int:
+        return len(self.modelnames)
+
+    def _load_image(self, model: str, view: int) -> np.ndarray:
+        path = os.path.join(
+            self.data_dir_imgs, model, "rendering", f"{view:02d}.png"
+        )
+        image = _imread_rgb(path)[4:-5, 4:-5, :3]
+        if self.transform is not None:
+            image = self.transform(image)
+        return np.ascontiguousarray(image, np.float32)
+
+    def _load_pcl(self, model: str, n: int) -> np.ndarray:
+        return np.load(
+            os.path.join(self.data_dir_pcl, model, f"pointcloud_{n}.npy")
+        ).astype(np.float32)
+
+    def __getitem__(self, index: int):
+        model = self.modelnames[index]
+        view = index % NUM_VIEWS
+        image = self._load_image(model, view)
+        out = {"image": image}
+        if self.multi_resolution:
+            out["points_128"] = self._load_pcl(model, 128)
+            out["points_256"] = self._load_pcl(model, 256)
+        out["points"] = self._load_pcl(model, self.num_points)
+        if self.variety:
+            meta = np.loadtxt(
+                os.path.join(
+                    self.data_dir_imgs, model, "rendering",
+                    "rendering_metadata.txt",
+                )
+            )
+            out["xangle"] = np.float32(np.pi / 180.0 * meta[view][0])
+            out["yangle"] = np.float32(np.pi / 180.0 * meta[view][1])
+        return out
