@@ -1,0 +1,117 @@
+"""Batched on-device evaluation: forward -> ICP align -> CD/EMD metrics.
+
+Rebuild of the testnet.py / test_pix.py eval loops (testnet.py:28-79,
+test_pix.py:23-78) with the per-sample CPU ICP round-trip
+(fake.cpu() -> sklearn -> .cuda(), testnet.py:57-67) replaced by a single
+jitted sharded step: the whole batch runs model + ICP + metrics on device.
+This is where the >=5x/chip eval target is won (BASELINE.json north star).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from fenet.eval.metrics import EVAL_EMD_EPS, EVAL_EMD_ITERS, Metrics
+from fenet.geometry.icp import align_pred_to_gt
+from fenet.ops.chamfer import chamfer_distance
+from fenet.ops.emd import earth_mover_distance
+from fenet.parallel.mesh import make_mesh, shard_batch, shard_map_batch
+from fenet.utils.average_meter import AverageMeter
+
+
+def make_eval_step(
+    model,
+    mesh=None,
+    icp_iterations: int = 1024,
+    icp_tolerance: float = 1e-10,
+    emd_eps: float = EVAL_EMD_EPS,
+    emd_iters: int = EVAL_EMD_ITERS,
+    align: bool = True,
+):
+    """Returns jitted ``step(variables, images, points) -> per-sample metrics``.
+
+    Outputs: dict of (B,) arrays — 'emd' (sqrt-mean x100), 'cd' (x100), plus
+    the aligned predictions for visualization.
+    """
+    mesh = mesh or make_mesh()
+
+    def local_step(variables, images, points):
+        _, _, pred = model.apply(variables, images, train=False)
+        if align:
+            aligned = align_pred_to_gt(
+                pred, points, max_iterations=icp_iterations,
+                tolerance=icp_tolerance,
+            )
+        else:
+            aligned = pred
+        emd_sq, _ = earth_mover_distance(aligned, points, emd_eps, emd_iters)
+        d1, d2, _, _ = chamfer_distance(aligned, points)
+        return {
+            "emd": jnp.sqrt(emd_sq).mean(axis=1) * 100.0,
+            "cd": (d1.mean(axis=1) + d2.mean(axis=1)) * 100.0,
+            "pred": aligned,
+        }
+
+    sharded = shard_map_batch(
+        local_step,
+        mesh,
+        in_batch_args={1, 2},
+        n_args=3,
+        out_specs={"emd": P("batch"), "cd": P("batch"), "pred": P("batch")},
+    )
+    return jax.jit(sharded), mesh
+
+
+def evaluate_dataset(
+    model,
+    variables,
+    dataloader,
+    category: str = "",
+    logger=None,
+    mesh=None,
+    **step_kwargs,
+) -> Tuple[Metrics, Metrics, Dict[str, float]]:
+    """Full-dataset eval; returns (chamfer Metrics, emd Metrics, summary).
+
+    Mirrors test_net's return convention (testnet.py:79): both Metrics carry
+    the same [EMD, CD] averages, named for best-checkpoint comparison.
+    """
+    step, mesh = make_eval_step(model, mesh=mesh, **step_kwargs)
+    meter = AverageMeter(Metrics.names())
+    n_samples = 0
+    t0 = time.time()
+    for i, batch in enumerate(dataloader, start=1):
+        sharded = shard_batch(
+            {"image": batch["image"], "points": batch["points"]}, mesh
+        )
+        out = step(variables, sharded["image"], sharded["points"])
+        emd = float(jnp.mean(out["emd"]))
+        cd = float(jnp.mean(out["cd"]))
+        bsz = batch["image"].shape[0]
+        n_samples += bsz
+        for _ in range(bsz):  # weight by sample for exact dataset means
+            meter.update([emd, cd])
+        if logger is not None:
+            logger.info(
+                "Test[%d/%d] Taxonomy = %s Metrics = %s",
+                i, len(dataloader), category,
+                ["%.4f" % m for m in (emd, cd)],
+            )
+    wall = time.time() - t0
+    summary = {
+        "EMD_distance": meter.avg(0),
+        "ChamferDistance": meter.avg(1),
+        "samples": n_samples,
+        "wall_seconds": wall,
+        "samples_per_second": n_samples / wall if wall > 0 else 0.0,
+    }
+    return (
+        Metrics("ChamferDistance", meter.avg()),
+        Metrics("EMD_distance", meter.avg()),
+        summary,
+    )

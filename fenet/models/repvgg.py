@@ -137,6 +137,8 @@ REPVGG_CONFIGS: Dict[str, RepVGGConfig] = {
     "RepVGG-D2se": RepVGGConfig(
         [8, 14, 24, 1], [2.5, 2.5, 2.5, 5], use_se=True
     ),
+    # fenet addition: a miniature config for fast CPU tests / CI.
+    "RepVGG-TEST": RepVGGConfig([1, 1, 1, 1], [0.25, 0.25, 0.25, 0.25]),
 }
 
 

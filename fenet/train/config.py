@@ -1,0 +1,55 @@
+"""Structured training config with the reference's CLI defaults.
+
+One dataclass replacing the per-driver argparse blocks (train.py:34-52,
+finetune.py, testnet.py:91-97); the CLI layer maps the documented flags onto
+these fields 1:1.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    # train.py:34-52 defaults
+    category: str = ""
+    batch_size: int = 128
+    workers: int = 0
+    nepoch: int = 50
+    start_epoch: int = 0
+    lr: float = 5e-4
+    momentum: float = 0.9
+    weight_decay: float = 1e-4
+    resume: bool = False
+    lambda_cd: float = 100.0
+    lambda_emd: float = 100.0
+    train_save_freq: int = 20
+    num_points: int = 1024
+    dir_path: str = "./output/fenet/"
+    splits_path: str = "./data/splits/"
+    data_dir_imgs: str = "./data/shapenet/ShapeNetRendering/"
+    data_dir_pcl: str = "./data/shapenet/ShapeNet_pointclouds/"
+    manual_seed: Optional[int] = None
+
+    # model
+    backbone: str = "RepVGG-A2"
+    pretrained_backbone: Optional[str] = None  # RepVGG-A2-train.pth path
+
+    # EMD operator settings (loss/loss.py:23)
+    emd_eps: float = 0.05
+    emd_iters: int = 3000
+
+    # validation epochs (train.py:211)
+    validate_epochs: Sequence[int] = (10, 30, 50)
+
+    # finetune projection loss (finetune.py)
+    grid_h: int = 64
+    grid_w: int = 64
+    sigma_sq: float = 2.0
+    output_pcl_size: int = 1024
+    lambda_bce: float = 100.0
+
+    # parallelism
+    data_parallel: int = 1  # devices in the batch mesh axis

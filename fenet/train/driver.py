@@ -1,0 +1,194 @@
+"""End-to-end per-category training driver: the train.py / finetune.py
+equivalent (train.py:31-243, finetune.py:30-200) wired from fenet components.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import time
+from datetime import datetime
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from fenet.data.loader import DataLoader
+from fenet.data.shapenet import ShapeNetDataset, load_split
+from fenet.eval.metrics import Metrics
+from fenet.eval.runner import evaluate_dataset
+from fenet.models.generator import Generator
+from fenet.train.checkpoint import load_checkpoint, save_checkpoint
+from fenet.train.config import TrainConfig
+from fenet.train.trainer import Trainer, TrainState
+from fenet.utils.logger import get_logger
+
+
+class MetricWriter:
+    """Scalar logger: tensorboardX when available, else JSONL fallback."""
+
+    def __init__(self, log_dir: str):
+        os.makedirs(log_dir, exist_ok=True)
+        self._tb = None
+        try:
+            from tensorboardX import SummaryWriter
+
+            self._tb = SummaryWriter(log_dir)
+        except Exception:
+            self._jsonl = open(os.path.join(log_dir, "scalars.jsonl"), "a")
+
+    def add_scalar(self, tag: str, value: float, step: int):
+        if self._tb is not None:
+            self._tb.add_scalar(tag, value, step)
+        else:
+            import json
+
+            self._jsonl.write(
+                json.dumps({"tag": tag, "value": value, "step": step}) + "\n"
+            )
+
+    def close(self):
+        if self._tb is not None:
+            self._tb.close()
+        else:
+            self._jsonl.close()
+
+
+def _build_datasets(cfg: TrainConfig, category):
+    train_models = load_split(cfg.splits_path, "train_models.json")
+    val_models = load_split(cfg.splits_path, "val_models.json")
+    cats = [category] if isinstance(category, str) else list(category)
+    train_ds = ShapeNetDataset(
+        cfg.data_dir_imgs, cfg.data_dir_pcl, train_models, cats,
+        cfg.num_points, variety=True,
+    )
+    val_ds = ShapeNetDataset(
+        cfg.data_dir_imgs, cfg.data_dir_pcl, val_models, cats,
+        cfg.num_points,
+    )
+    return train_ds, val_ds
+
+
+def train_net(
+    category,
+    cfg: TrainConfig,
+    train_ds=None,
+    val_ds=None,
+    loss_mode: str = "schedule",
+    model: Optional[Generator] = None,
+) -> Dict:
+    """Train one category end to end. Returns {'state', 'history', 'ckpt_dir'}."""
+    cat = category if isinstance(category, str) else "".join(category)
+    if cfg.manual_seed is None:
+        cfg.manual_seed = random.randint(1, 10000)  # train.py:59
+    np.random.seed(cfg.manual_seed)
+
+    if train_ds is None or val_ds is None:
+        train_ds, val_ds = _build_datasets(cfg, category)
+    train_loader = DataLoader(
+        train_ds, cfg.batch_size, shuffle=True, drop_last=True,
+        seed=cfg.manual_seed,
+    )
+    val_loader = DataLoader(val_ds, min(cfg.batch_size, max(len(val_ds), 1)),
+                            shuffle=False, drop_last=False)
+
+    output_dir = os.path.join(cfg.dir_path, cat)
+    ckpt_dir = os.path.join(output_dir, "checkpoints")
+    log_dir = os.path.join(output_dir, "logs", datetime.now().isoformat())
+    os.makedirs(ckpt_dir, exist_ok=True)
+    logger = get_logger(os.path.join(ckpt_dir, "logging.log"))
+    train_writer = MetricWriter(os.path.join(log_dir, "train"))
+
+    gen = model or Generator(num_points=cfg.num_points, backbone=cfg.backbone)
+    trainer = Trainer(gen, cfg, loss_mode=loss_mode)
+    sample = np.zeros((1, 128, 128, 3), np.float32)
+    state = trainer.init_state(jax.random.PRNGKey(cfg.manual_seed), sample)
+
+    if cfg.pretrained_backbone:
+        from fenet.models.convert import load_torch_checkpoint, merge_variables
+
+        backbone = load_torch_checkpoint(
+            cfg.pretrained_backbone, prefix_map={"": "RepVGG."}
+        )
+        state = state.replace(
+            params=merge_variables(state.params, backbone["params"]),
+            batch_stats=merge_variables(
+                state.batch_stats, backbone["batch_stats"]
+            ),
+        )
+
+    best_chamfer: Optional[Metrics] = None
+    best_emd: Optional[Metrics] = None
+    all_epoch_time = 0.0
+    start_epoch = cfg.start_epoch
+    if cfg.resume:
+        path = os.path.join(ckpt_dir, "model_best.ckpt")
+        blob = load_checkpoint(
+            path,
+            target={
+                "params": state.params,
+                "batch_stats": state.batch_stats,
+                "opt_state": state.opt_state,
+            },
+        )
+        state = state.replace(
+            params=blob["params"], batch_stats=blob["batch_stats"],
+            opt_state=blob["opt_state"],
+        )
+        start_epoch = int(blob.get("epoch", 0))
+        all_epoch_time = float(blob.get("train_time", 0.0))
+
+    history = []
+    for epoch in range(start_epoch + 1, cfg.nepoch + 1):
+        t0 = time.time()
+        state, epoch_stats = trainer.fit_epoch(
+            state, train_loader, epoch, logger=logger,
+            metric_writer=train_writer, category=cat,
+        )
+        epoch_time = time.time() - t0
+        all_epoch_time += epoch_time
+        train_writer.add_scalar(
+            "Loss/Epoch/chamfer_loss", epoch_stats["chamfer_loss"], epoch
+        )
+        train_writer.add_scalar(
+            "Loss/Epoch/emd_loss", epoch_stats["emd_loss"], epoch
+        )
+        logger.info(
+            "[[Category %s] Epoch %d/%d] EpochTime = %.3f (s) "
+            "All_epoch_time = %.3f (s) Losses = %s",
+            cat, epoch, cfg.nepoch, epoch_time, all_epoch_time,
+            ["%.4f" % epoch_stats["chamfer_loss"],
+             "%.4f" % epoch_stats["emd_loss"]],
+        )
+        history.append({"epoch": epoch, **epoch_stats})
+
+        if epoch in tuple(cfg.validate_epochs) and len(val_ds):
+            variables = {"params": state.params,
+                         "batch_stats": state.batch_stats}
+            cd_m, emd_m, summary = evaluate_dataset(
+                gen, variables, val_loader, category=cat, logger=logger,
+                mesh=trainer.mesh,
+            )
+            is_best = cd_m.better_than(best_chamfer) and emd_m.better_than(
+                best_emd
+            )
+            if is_best:
+                best_chamfer, best_emd = cd_m, emd_m
+            save_checkpoint(
+                {
+                    "params": state.params,
+                    "batch_stats": state.batch_stats,
+                    "opt_state": state.opt_state,
+                    "epoch": epoch,
+                    "model_name": ckpt_dir,
+                    "best_chamfer_loss": float(cd_m.state_dict()["ChamferDistance"]),
+                    "best_emd_loss": float(emd_m.state_dict()["EMD_distance"]),
+                    "train_time": all_epoch_time,
+                },
+                is_best, cat, ckpt_dir, epoch,
+            )
+            history[-1]["val"] = summary
+
+    train_writer.close()
+    return {"state": state, "history": history, "ckpt_dir": ckpt_dir,
+            "trainer": trainer, "model": gen}

@@ -1,0 +1,252 @@
+"""Training loop with the reference's exact optimization semantics, scaled
+over a data-parallel device mesh.
+
+Reference semantics kept (train.py):
+- Adam(lr=5e-4, betas=(0.9, 0.999)) with torch-style L2 weight decay 1e-4
+  added to the gradient *before* the Adam moments (train.py:115) — i.e.
+  ``add_decayed_weights`` then ``scale_by_adam``, not AdamW;
+- loss schedule: 100*CD + 100*EMD for epochs 1-30, 100*EMD for 31-50
+  (train.py:162-171);
+- stepwise-multiplicative LR decay at each 10-epoch boundary: x0.1 below 30,
+  x0.01 at [30, 40), x0.001 at 40+ — cumulative (train.py:191-199), see
+  :func:`reference_lr_schedule`;
+- per-epoch AverageMeters, validation at epochs {10, 30, 50}, checkpoint with
+  best-copy on joint CD+EMD improvement (train.py:211-243).
+
+TPU-native structure: one jitted ``train_step`` wrapped in ``shard_map`` over
+a 1-D batch mesh — each device computes its shard's forward/backward (Pallas
+kernels operate on local shapes), gradients and BN statistics are pmean'd
+over ICI, and the Adam update runs replicated.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import PartitionSpec as P
+
+from fenet.losses.facade import chamfer_loss, emd_loss
+from fenet.parallel.mesh import (
+    BATCH_AXIS,
+    make_mesh,
+    shard_batch,
+    shard_map_batch,
+)
+from fenet.train.config import TrainConfig
+
+
+def reference_lr_schedule(base_lr: float, epoch: int) -> float:
+    """LR in effect *during* ``epoch`` (1-indexed), replicating the cumulative
+    in-place decay at train.py:191-199."""
+    lr = base_lr
+    for boundary in range(10, epoch, 10):
+        if boundary < 30:
+            lr *= 0.1
+        elif boundary < 40:
+            lr *= 0.01
+        else:
+            lr *= 0.001
+    return lr
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_optimizer(weight_decay: float) -> optax.GradientTransformation:
+    """Torch-Adam-with-weight_decay; LR applied per step by the caller."""
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+    )
+
+
+class Trainer:
+    """Owns the model, optimizer and the jitted sharded train/eval steps.
+
+    ``loss_mode``:
+      'schedule' — the train.py epoch-scheduled CD/EMD loss (default);
+      'finetune' — the finetune.py projection loss: 100*BCE(silhouettes) +
+        lambda_cd*CD + lambda_emd*EMD (finetune.py:148-163), with the
+        projection genuinely differentiable (SURVEY.md §3.4).
+    """
+
+    def __init__(self, model, config: TrainConfig, mesh=None,
+                 loss_mode: str = "schedule"):
+        self.model = model
+        self.config = config
+        self.loss_mode = loss_mode
+        self.mesh = mesh if mesh is not None else make_mesh(config.data_parallel)
+        self.tx = make_optimizer(config.weight_decay)
+        self._train_step = self._build_train_step()
+
+    # -- state ---------------------------------------------------------------
+
+    def init_state(self, rng, sample_images) -> TrainState:
+        variables = self.model.init(rng, sample_images, train=False)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        return TrainState(
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=self.tx.init(params),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    def state_from_variables(self, variables) -> TrainState:
+        return TrainState(
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=self.tx.init(variables["params"]),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    # -- the hot step ----------------------------------------------------------
+
+    def _build_train_step(self):
+        cfg = self.config
+        model = self.model
+        tx = self.tx
+
+        def local_step(state: TrainState, images, points, epoch, lr):
+            """Per-device shard step; grads/stats pmean'd over the mesh."""
+
+            def loss_fn(params):
+                (_, _, pc3), mut = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    images,
+                    train=True,
+                    mutable=["batch_stats"],
+                )
+                cd = chamfer_loss(pc3, points)
+                emd = emd_loss(pc3, points, cfg.emd_eps, cfg.emd_iters)
+                if self.loss_mode == "finetune":
+                    from fenet.geometry.projection import project_silhouettes
+                    from fenet.losses.projection import get_loss_proj
+
+                    proj_pred, proj_gt = project_silhouettes(
+                        pc3, points, cfg.grid_h, cfg.grid_w, cfg.sigma_sq
+                    )
+                    bce, _, _ = get_loss_proj(proj_pred, proj_gt, "bce_prob")
+                    total = (
+                        cfg.lambda_bce * bce
+                        + cfg.lambda_cd * cd
+                        + cfg.lambda_emd * emd
+                    )
+                else:
+                    use_emd_only = epoch > 30  # train.py:162-171
+                    total = jnp.where(
+                        use_emd_only,
+                        cfg.lambda_emd * emd,
+                        cfg.lambda_cd * cd + cfg.lambda_emd * emd,
+                    )
+                return total, (cd, emd, mut["batch_stats"])
+
+            (total, (cd, emd, new_bs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+            grads = jax.lax.pmean(grads, BATCH_AXIS)
+            total = jax.lax.pmean(total, BATCH_AXIS)
+            cd = jax.lax.pmean(cd, BATCH_AXIS)
+            emd = jax.lax.pmean(emd, BATCH_AXIS)
+            new_bs = jax.lax.pmean(new_bs, BATCH_AXIS)
+
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
+            params = optax.apply_updates(state.params, updates)
+            new_state = state.replace(
+                params=params,
+                batch_stats=new_bs,
+                opt_state=new_opt,
+                step=state.step + 1,
+            )
+            return new_state, {
+                "total_loss": total, "chamfer_loss": cd, "emd_loss": emd
+            }
+
+        sharded = shard_map_batch(
+            local_step,
+            self.mesh,
+            in_batch_args={1, 2},
+            n_args=5,
+            out_specs=(P(), P()),
+        )
+        # No buffer donation: states stay reusable (eval/checkpoint mid-epoch);
+        # at this model scale (~25M params) the copy cost is negligible.
+        return jax.jit(sharded)
+
+    def train_step(
+        self, state: TrainState, images, points, epoch: int, lr: float
+    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        return self._train_step(
+            state,
+            images,
+            points,
+            jnp.asarray(epoch, jnp.int32),
+            jnp.asarray(lr, jnp.float32),
+        )
+
+    # -- epoch driver ----------------------------------------------------------
+
+    def fit_epoch(
+        self,
+        state: TrainState,
+        dataloader,
+        epoch: int,
+        logger=None,
+        metric_writer=None,
+        category: str = "",
+    ) -> Tuple[TrainState, Dict[str, float]]:
+        """One epoch over a DataLoader, with the reference's per-batch logging
+        shape (train.py:137-189)."""
+        from fenet.utils.average_meter import AverageMeter
+
+        batch_time = AverageMeter()
+        data_time = AverageMeter()
+        losses = AverageMeter(["chamfer_loss", "emd_loss"])
+        lr = reference_lr_schedule(self.config.lr, epoch)
+        n_batches = len(dataloader)
+        end = time.time()
+        for i, batch in enumerate(dataloader, start=1):
+            data_time.update(time.time() - end)
+            sharded = shard_batch(
+                {"image": batch["image"], "points": batch["points"]}, self.mesh
+            )
+            state, stats = self.train_step(
+                state, sharded["image"], sharded["points"], epoch, lr
+            )
+            losses.update(
+                [float(stats["chamfer_loss"]) * 100,
+                 float(stats["emd_loss"]) * 100]
+            )
+            if metric_writer is not None:
+                step = (epoch - 1) * n_batches + i
+                metric_writer.add_scalar("scalar/total_loss",
+                                         float(stats["total_loss"]), step)
+                metric_writer.add_scalar("scalar/chamfer_loss",
+                                         float(stats["chamfer_loss"]), step)
+                metric_writer.add_scalar("scalar/emd_loss",
+                                         float(stats["emd_loss"]), step)
+            batch_time.update(time.time() - end)
+            end = time.time()
+            if logger is not None:
+                logger.info(
+                    "[Category %s] [Epoch %d/%d][Batch %d/%d] BatchTime = "
+                    "%.3f (s) DataTime = %.3f (s) Losses = %s",
+                    category, epoch, self.config.nepoch, i, n_batches,
+                    batch_time.val(), data_time.val(),
+                    ["%.4f" % l for l in losses.val()],
+                )
+        return state, {
+            "chamfer_loss": losses.avg(0),
+            "emd_loss": losses.avg(1),
+        }

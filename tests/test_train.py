@@ -1,0 +1,161 @@
+"""Training loop + checkpointing + batched eval, on the 8-device CPU mesh.
+
+This is also the multi-chip validation: every step here runs through
+shard_map over all 8 fake devices.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fenet.data.loader import DataLoader
+from fenet.data.synthetic import SyntheticShapeNet
+from fenet.eval.runner import evaluate_dataset
+from fenet.models.generator import Generator
+from fenet.train.checkpoint import (
+    export_torch_checkpoint,
+    load_checkpoint,
+    save_checkpoint,
+    variables_to_torch_state_dict,
+)
+from fenet.train.config import TrainConfig
+from fenet.train.trainer import Trainer, reference_lr_schedule
+
+
+def _tiny_config(**kw):
+    defaults = dict(
+        batch_size=8,
+        lr=1e-3,
+        emd_eps=0.05,
+        emd_iters=10,
+        backbone="RepVGG-TEST",
+        data_parallel=8,
+        manual_seed=1,
+    )
+    defaults.update(kw)
+    return TrainConfig(**defaults)
+
+
+def test_reference_lr_schedule_bands():
+    lr0 = 5e-4
+    assert reference_lr_schedule(lr0, 5) == lr0
+    assert reference_lr_schedule(lr0, 10) == lr0  # decay happens after e10
+    np.testing.assert_allclose(reference_lr_schedule(lr0, 11), lr0 * 0.1)
+    np.testing.assert_allclose(reference_lr_schedule(lr0, 25), lr0 * 0.01)
+    np.testing.assert_allclose(reference_lr_schedule(lr0, 31), lr0 * 1e-4)
+    np.testing.assert_allclose(reference_lr_schedule(lr0, 50), lr0 * 1e-7)
+
+
+@pytest.fixture(scope="module")
+def trained():
+    assert jax.device_count() == 8, "conftest must fake 8 CPU devices"
+    cfg = _tiny_config()
+    gen = Generator(num_points=1024, backbone=cfg.backbone)
+    trainer = Trainer(gen, cfg)
+    rng = np.random.RandomState(0)
+    state = trainer.init_state(
+        jax.random.PRNGKey(0), np.zeros((1, 128, 128, 3), np.float32)
+    )
+    images = rng.rand(8, 128, 128, 3).astype(np.float32) * 255
+    points = rng.rand(8, 1024, 3).astype(np.float32)
+    losses = []
+    for step in range(3):
+        state, stats = trainer.train_step(state, images, points, epoch=1,
+                                          lr=cfg.lr)
+        losses.append(float(stats["total_loss"]))
+    return trainer, state, losses, (images, points), gen, cfg
+
+
+def test_train_step_runs_and_improves(trained):
+    _, _, losses, _, _, _ = trained
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]  # overfitting a fixed batch must improve
+
+
+def test_train_step_epoch_band_changes_loss(trained):
+    trainer, state, _, (images, points), _, cfg = trained
+    _, s_early = trainer.train_step(state, images, points, epoch=5, lr=0.0)
+    _, s_late = trainer.train_step(state, images, points, epoch=40, lr=0.0)
+    early_total = float(s_early["total_loss"])
+    late_total = float(s_late["total_loss"])
+    np.testing.assert_allclose(
+        late_total, 100 * float(s_late["emd_loss"]), rtol=1e-4
+    )
+    assert early_total > late_total  # CD term included only in early band
+
+
+def test_checkpoint_roundtrip(tmp_path, trained):
+    trainer, state, _, _, _, _ = trained
+    ckpt_dir = str(tmp_path)
+    payload = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "epoch": 3,
+        "train_time": 12.5,
+    }
+    save_checkpoint(payload, True, "cat", ckpt_dir, 3)
+    assert os.path.exists(os.path.join(ckpt_dir, "model_best.ckpt"))
+    restored = load_checkpoint(
+        os.path.join(ckpt_dir, "model_best.ckpt"),
+        target={
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+        },
+    )
+    assert restored["epoch"] == 3 and restored["train_time"] == 12.5
+    a = jax.tree_util.tree_leaves(state.params)
+    b = jax.tree_util.tree_leaves(restored["params"])
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_torch_checkpoint_roundtrip(tmp_path, trained):
+    """fenet -> .pth.tar -> fenet must be the identity on the generator."""
+    torch = pytest.importorskip("torch")
+    from fenet.models.convert import load_torch_checkpoint
+
+    trainer, state, _, _, gen, _ = trained
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    path = str(tmp_path / "model_best.pth.tar")
+    export_torch_checkpoint(variables, path, extra={"epoch": 7})
+    back = load_torch_checkpoint(path)
+
+    flat_orig = variables_to_torch_state_dict(variables)
+    flat_back = variables_to_torch_state_dict(back)
+    assert set(flat_orig) == set(flat_back)
+    for k in flat_orig:
+        np.testing.assert_allclose(flat_orig[k], flat_back[k], rtol=1e-6)
+
+
+def test_evaluate_dataset_batched(trained):
+    trainer, state, _, _, gen, _ = trained
+    ds = SyntheticShapeNet(n_models=1, num_points=1024)
+    loader = DataLoader(ds, batch_size=8, drop_last=True)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    cd_m, emd_m, summary = evaluate_dataset(
+        gen, variables, loader, category="test", mesh=trainer.mesh,
+        icp_iterations=8, emd_iters=10,
+    )
+    assert summary["samples"] == 24
+    assert np.isfinite(summary["ChamferDistance"])
+    assert cd_m.better_than(None)
+
+
+def test_finetune_loss_mode(trained):
+    cfg = _tiny_config(lambda_bce=100.0)
+    gen = Generator(num_points=1024, backbone=cfg.backbone)
+    trainer = Trainer(gen, cfg, loss_mode="finetune")
+    state = trainer.init_state(
+        jax.random.PRNGKey(0), np.zeros((1, 128, 128, 3), np.float32)
+    )
+    rng = np.random.RandomState(1)
+    images = rng.rand(8, 128, 128, 3).astype(np.float32) * 255
+    points = (rng.rand(8, 1024, 3).astype(np.float32) - 0.5) * 0.8
+    state, stats = trainer.train_step(state, images, points, epoch=1,
+                                      lr=cfg.lr)
+    assert np.isfinite(float(stats["total_loss"]))
