@@ -1,0 +1,173 @@
+"""Headline benchmark: batched ShapeNet-style eval throughput on one chip.
+
+Measures the full eval pipeline — generator forward (RepVGG-A2, 1024 pts) ->
+batched on-device ICP alignment (1024 iters, tol 1e-10) -> Chamfer + EMD
+(eps=0.005, iters=50) metrics — over 13 synthetic categories, and compares
+against a *reference-structured* baseline run on the same hardware: batch=1,
+per-sample host ICP (numpy/sklearn-free reimplementation of the reference
+algorithm on the CPU) with device<->host round-trips, per-sample metric
+calls — the exact structure of testnet.py:28-79 with its CUDA kernels
+replaced by ours (a favorable substitution for the baseline).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _build_model_and_state(seed: int = 0):
+    import jax
+
+    from fenet.models.generator import Generator
+
+    model = Generator(num_points=1024, backbone="RepVGG-A2")
+    variables = model.init(
+        jax.random.PRNGKey(seed), np.zeros((1, 128, 128, 3), np.float32),
+        train=False,
+    )
+    return model, variables
+
+
+def _synthetic_eval_batches(n_cats=13, samples_per_cat=48, batch=48, seed=0):
+    rng = np.random.RandomState(seed)
+    batches = []
+    for _ in range(n_cats):
+        for start in range(0, samples_per_cat, batch):
+            b = min(batch, samples_per_cat - start)
+            batches.append(
+                (
+                    rng.rand(b, 128, 128, 3).astype(np.float32) * 255,
+                    (rng.rand(b, 1024, 3).astype(np.float32)) * 0.9,
+                )
+            )
+    return batches
+
+
+def _host_icp(a: np.ndarray, b: np.ndarray, max_iterations=1024,
+              tolerance=1e-10) -> np.ndarray:
+    """Host ICP with the reference's algorithm (utils/icp.py:68-118)."""
+
+    def best_fit(x, y):
+        cx, cy = x.mean(0), y.mean(0)
+        h = (x - cx).T @ (y - cy)
+        u, _, vt = np.linalg.svd(h)
+        r = vt.T @ u.T
+        if np.linalg.det(r) < 0:
+            vt[-1] *= -1
+            r = vt.T @ u.T
+        t = cy - r @ cx
+        m = np.eye(4)
+        m[:3, :3], m[:3, 3] = r, t
+        return m
+
+    from sklearn.neighbors import NearestNeighbors
+
+    src = a.copy()
+    prev = 0.0
+    for _ in range(max_iterations):
+        neigh = NearestNeighbors(n_neighbors=1).fit(b)  # per-iter, as icp.py:62
+        dist, idx = neigh.kneighbors(src, return_distance=True)
+        dist, idx = dist.ravel(), idx.ravel()
+        t = best_fit(src, b[idx])
+        src = src @ t[:3, :3].T + t[:3, 3]
+        err = dist.mean()
+        if abs(prev - err) < tolerance:
+            break
+        prev = err
+    return best_fit(a, src)
+
+
+def run_batched(model, variables, batches, mesh):
+    import jax
+
+    from fenet.eval.runner import make_eval_step
+    from fenet.parallel.mesh import shard_batch
+
+    step, mesh = make_eval_step(model, mesh=mesh)
+    # Warm-up / compile on the first batch shape.
+    img, pts = batches[0]
+    out = step(variables, *_put(img, pts, mesh))
+    jax.block_until_ready(out["cd"])
+
+    n = 0
+    t0 = time.time()
+    for img, pts in batches:
+        out = step(variables, *_put(img, pts, mesh))
+        n += img.shape[0]
+    jax.block_until_ready(out["cd"])
+    wall = time.time() - t0
+    return n / wall, wall, float(np.mean(np.asarray(out["cd"])))
+
+
+def _put(img, pts, mesh):
+    from fenet.parallel.mesh import shard_batch
+
+    s = shard_batch({"i": img, "p": pts}, mesh)
+    return s["i"], s["p"]
+
+
+def run_reference_structured(model, variables, batches, n_samples=12):
+    """batch=1 + host ICP + per-sample metrics: the reference's structure."""
+    import jax
+    import jax.numpy as jnp
+
+    from fenet.eval.metrics import eval_metrics
+
+    @jax.jit
+    def fwd(variables, images):
+        _, _, pc3 = model.apply(variables, images, train=False)
+        return pc3
+
+    # compile
+    img0 = batches[0][0][:1]
+    jax.block_until_ready(fwd(variables, img0))
+    _ = eval_metrics(jnp.zeros((1, 1024, 3)), jnp.zeros((1, 1024, 3)))
+
+    flat = [(i, p) for img, pts in batches for i, p in zip(img, pts)]
+    flat = flat[:n_samples]
+    t0 = time.time()
+    for img, pts in flat:
+        pred = np.asarray(fwd(variables, img[None]))[0]  # device -> host
+        t = _host_icp(pts, pred)
+        aligned = (pred @ t[:3, :3] - t[:3, 3])[None]
+        m = eval_metrics(jnp.asarray(aligned), jnp.asarray(pts[None]))
+        jax.block_until_ready(m["ChamferDistance"])
+    wall = time.time() - t0
+    return len(flat) / wall, wall
+
+
+def main():
+    from fenet.parallel.mesh import make_mesh
+
+    model, variables = _build_model_and_state()
+    batches = _synthetic_eval_batches()
+    mesh = make_mesh(1)
+
+    throughput, wall, cd = run_batched(model, variables, batches, mesh)
+    ref_throughput, ref_wall = run_reference_structured(
+        model, variables, batches
+    )
+    result = {
+        "metric": "shapenet_13cat_eval_throughput",
+        "value": round(throughput, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(throughput / ref_throughput, 3),
+        "detail": {
+            "samples": sum(b[0].shape[0] for b in batches),
+            "wall_seconds": round(wall, 3),
+            "baseline_images_per_sec": round(ref_throughput, 3),
+            "pipeline": "RepVGG-A2 fwd + ICP(1024,1e-10) + CD + EMD(0.005,50)",
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())
