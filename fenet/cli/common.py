@@ -1,0 +1,75 @@
+"""Shared argparse plumbing with the reference drivers' flag names."""
+
+from __future__ import annotations
+
+import argparse
+
+from fenet.train.config import TrainConfig
+
+
+def add_common_args(parser: argparse.ArgumentParser):
+    """The train.py:34-52 flag set, names preserved."""
+    parser.add_argument("--category", type=str, default="", help="category")
+    parser.add_argument("--batchSize", type=int, default=128,
+                        help="input batch size")
+    parser.add_argument("--momentum", type=float, default=0.9, metavar="M")
+    parser.add_argument("--workers", type=int, default=0,
+                        help="number of data loading workers")
+    parser.add_argument("--nepoch", type=int, default=50)
+    parser.add_argument("--start_epoch", type=int, default=0)
+    parser.add_argument("--lr", type=float, default=0.0005)
+    parser.add_argument("--resume", type=bool, default=False)
+    parser.add_argument("--lambda_cd", type=float, default=100.0)
+    parser.add_argument("--lambda_emd", type=float, default=100.0)
+    parser.add_argument("--train_save_freq", type=int, default=20)
+    parser.add_argument("--num_points", type=int, default=1024,
+                        help="number of points, [1024, 2048]")
+    parser.add_argument("--dir_path", type=str, default="./output/fenet/")
+    parser.add_argument("--splits_path", type=str, default="./data/splits/")
+    parser.add_argument("--data_dir_imgs", type=str,
+                        default="./data/shapenet/ShapeNetRendering/")
+    parser.add_argument("--data_dir_pcl", type=str,
+                        default="./data/shapenet/ShapeNet_pointclouds/")
+    # fenet extensions
+    parser.add_argument("--backbone", type=str, default="RepVGG-A2")
+    parser.add_argument("--pretrained_backbone", type=str, default=None)
+    parser.add_argument("--data_parallel", type=int, default=1,
+                        help="devices in the batch mesh axis")
+    parser.add_argument("--emd_iters", type=int, default=3000)
+    parser.add_argument("--emd_eps", type=float, default=0.05)
+    return parser
+
+
+def config_from_args(opt) -> TrainConfig:
+    return TrainConfig(
+        category=opt.category,
+        batch_size=opt.batchSize,
+        workers=opt.workers,
+        nepoch=opt.nepoch,
+        start_epoch=opt.start_epoch,
+        lr=opt.lr,
+        momentum=opt.momentum,
+        resume=opt.resume,
+        lambda_cd=opt.lambda_cd,
+        lambda_emd=opt.lambda_emd,
+        train_save_freq=opt.train_save_freq,
+        num_points=opt.num_points,
+        dir_path=opt.dir_path,
+        splits_path=opt.splits_path,
+        data_dir_imgs=opt.data_dir_imgs,
+        data_dir_pcl=opt.data_dir_pcl,
+        backbone=opt.backbone,
+        pretrained_backbone=opt.pretrained_backbone,
+        data_parallel=opt.data_parallel,
+        emd_eps=opt.emd_eps,
+        emd_iters=opt.emd_iters,
+    )
+
+
+# train.py:265-268's category list + the full 13 used by testnet.py:112.
+DEFAULT_TRAIN_CATS = ["02828884"]
+ALL_CATS = [
+    "02691156", "02828884", "02933112", "02958343", "03636649", "03211117",
+    "04090263", "03001627", "04530566", "04379243", "03691459", "04401088",
+    "04256520",
+]

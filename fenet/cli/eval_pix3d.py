@@ -1,0 +1,72 @@
+"""Pix3D generalization eval CLI (test_pix.py equivalent).
+
+Maps Pix3D's chair/sofa/table to their ShapeNet category checkpoints
+(test_pix.py:107-126) and evaluates with ICP-aligned metrics on masked real
+images. The broken older variant (test_pix3d.py, SURVEY.md §2 P25) is
+subsumed by this driver.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import numpy as np
+
+from fenet.data.loader import DataLoader
+from fenet.data.pix3d import Pix3DDataset
+from fenet.eval.runner import evaluate_dataset
+from fenet.models.generator import Generator
+from fenet.train.checkpoint import load_checkpoint
+from fenet.utils.logger import get_logger
+
+# Pix3D category -> ShapeNet checkpoint id (test_pix.py:107-126).
+PIX3D_TO_SHAPENET = {
+    "chair": "03001627",
+    "sofa": "04256520",
+    "table": "04379243",
+}
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batchSize", type=int, default=32)
+    parser.add_argument("--num_points", type=int, default=1024)
+    parser.add_argument("--model", type=str,
+                        default="./output/fenet/%s/checkpoints/")
+    parser.add_argument("--data_dir", type=str, default="./data/pix3d/")
+    parser.add_argument("--backbone", type=str, default="RepVGG-A2")
+    parser.add_argument("--cats", nargs="*",
+                        default=["sofa", "table", "chair"])
+    opt = parser.parse_args(argv)
+    print(opt)
+
+    gen = Generator(num_points=opt.num_points, backbone=opt.backbone)
+    results = {}
+    for cat in opt.cats:
+        ckpt_dir = opt.model % PIX3D_TO_SHAPENET[cat]
+        logger = get_logger(os.path.join(ckpt_dir, "logging_pix3d.log"))
+        sample = np.zeros((1, 128, 128, 3), np.float32)
+        variables = gen.init(jax.random.PRNGKey(0), sample, train=False)
+        blob = load_checkpoint(
+            os.path.join(ckpt_dir, "model_best.ckpt"),
+            target={"params": variables["params"],
+                    "batch_stats": variables["batch_stats"]},
+        )
+        variables = {"params": blob["params"],
+                     "batch_stats": blob["batch_stats"]}
+        ds = Pix3DDataset(opt.data_dir, category=cat,
+                          num_points=opt.num_points)
+        loader = DataLoader(ds, opt.batchSize, drop_last=False)
+        _, _, summary = evaluate_dataset(
+            gen, variables, loader, category=cat, logger=logger
+        )
+        results[cat] = summary
+        print(cat, json.dumps(summary))
+    return results
+
+
+if __name__ == "__main__":
+    main()

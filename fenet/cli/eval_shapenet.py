@@ -1,0 +1,73 @@
+"""ShapeNet 13-category eval CLI (testnet.py equivalent), batched on device."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import numpy as np
+
+from fenet.cli.common import ALL_CATS
+from fenet.data.loader import DataLoader
+from fenet.data.shapenet import ShapeNetDataset, load_split
+from fenet.eval.runner import evaluate_dataset
+from fenet.models.generator import Generator
+from fenet.train.checkpoint import load_checkpoint
+from fenet.utils.logger import get_logger
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batchSize", type=int, default=64)
+    parser.add_argument("--workers", type=int, default=8)
+    parser.add_argument("--num_points", type=int, default=1024)
+    parser.add_argument("--model", type=str,
+                        default="./output/fenet/%s/checkpoints/")
+    parser.add_argument("--splits_path", type=str, default="./data/splits/")
+    parser.add_argument("--data_dir_imgs", type=str,
+                        default="./data/shapenet/ShapeNetRendering/")
+    parser.add_argument("--data_dir_pcl", type=str,
+                        default="./data/shapenet/ShapeNet_pointclouds/")
+    parser.add_argument("--backbone", type=str, default="RepVGG-A2")
+    parser.add_argument("--cats", nargs="*", default=ALL_CATS)
+    parser.add_argument("--no_icp", action="store_true")
+    opt = parser.parse_args(argv)
+    print(opt)
+
+    gen = Generator(num_points=opt.num_points, backbone=opt.backbone)
+    val_models = load_split(opt.splits_path, "val_models.json")
+    results = {}
+    for cat in opt.cats:
+        ckpt_dir = opt.model % cat
+        logger = get_logger(os.path.join(ckpt_dir, "logging_test.log"))
+        sample = np.zeros((1, 128, 128, 3), np.float32)
+        variables = gen.init(jax.random.PRNGKey(0), sample, train=False)
+        blob = load_checkpoint(
+            os.path.join(ckpt_dir, "model_best.ckpt"),
+            target={"params": variables["params"],
+                    "batch_stats": variables["batch_stats"]},
+        )
+        variables = {"params": blob["params"],
+                     "batch_stats": blob["batch_stats"]}
+        ds = ShapeNetDataset(
+            opt.data_dir_imgs, opt.data_dir_pcl, val_models, [cat],
+            opt.num_points, multi_resolution=False, check_exists=True,
+        )
+        loader = DataLoader(ds, opt.batchSize, drop_last=False)
+        cd_m, emd_m, summary = evaluate_dataset(
+            gen, variables, loader, category=cat, logger=logger,
+            align=not opt.no_icp,
+        )
+        results[cat] = summary
+        print(cat, json.dumps(summary))
+    if results:
+        mean_cd = float(np.mean([r["ChamferDistance"] for r in results.values()]))
+        mean_emd = float(np.mean([r["EMD_distance"] for r in results.values()]))
+        print(json.dumps({"mean_cd": mean_cd, "mean_emd": mean_emd}))
+    return results
+
+
+if __name__ == "__main__":
+    main()

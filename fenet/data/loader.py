@@ -71,6 +71,11 @@ class DataLoader:
             yield order[i * self.batch_size : (i + 1) * self.batch_size]
 
     def _make_batch(self, idxs) -> Dict[str, np.ndarray]:
+        load_batch = getattr(self.dataset, "load_batch", None)
+        if load_batch is not None:
+            batch = load_batch([int(i) for i in idxs])
+            if batch is not None:  # None -> dataset declined (fallback)
+                return batch
         return _collate([self.dataset[int(i)] for i in idxs])
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:

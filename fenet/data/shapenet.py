@@ -114,6 +114,72 @@ class ShapeNetDataset:
             os.path.join(self.data_dir_pcl, model, f"pointcloud_{n}.npy")
         ).astype(np.float32)
 
+    # -- native batch fast path ---------------------------------------------
+
+    def load_batch(self, indices):
+        """Batched load via the C++ loader (fenet/native); returns None when
+        the native path can't serve this configuration (custom transform,
+        missing toolchain, non-137px renders), letting DataLoader fall back."""
+        if self.transform is not None:
+            return None
+        try:
+            from fenet import native
+        except Exception:
+            return None
+        if not native.native_available():
+            return None
+        img_paths = []
+        pcl_paths = []
+        for i in indices:
+            model = self.modelnames[i]
+            img_paths.append(
+                os.path.join(
+                    self.data_dir_imgs, model, "rendering",
+                    f"{i % NUM_VIEWS:02d}.png",
+                )
+            )
+            pcl_paths.append(
+                os.path.join(
+                    self.data_dir_pcl, model,
+                    f"pointcloud_{self.num_points}.npy",
+                )
+            )
+        try:
+            out = {
+                "image": native.load_images(img_paths),
+                "points": native.load_clouds(pcl_paths, self.num_points),
+            }
+        except (IOError, RuntimeError):
+            return None
+        if self.multi_resolution:
+            for n in (128, 256):
+                paths = [
+                    os.path.join(self.data_dir_pcl, self.modelnames[i],
+                                 f"pointcloud_{n}.npy")
+                    for i in indices
+                ]
+                out[f"points_{n}"] = native.load_clouds(paths, n)
+        if self.variety:
+            xang, yang = [], []
+            for i in indices:
+                meta = self._metadata(self.modelnames[i])
+                xang.append(np.pi / 180.0 * meta[i % NUM_VIEWS][0])
+                yang.append(np.pi / 180.0 * meta[i % NUM_VIEWS][1])
+            out["xangle"] = np.asarray(xang, np.float32)
+            out["yangle"] = np.asarray(yang, np.float32)
+        return out
+
+    def _metadata(self, model: str) -> np.ndarray:
+        cache = getattr(self, "_meta_cache", None)
+        if cache is None:
+            cache = self._meta_cache = {}
+        if model not in cache:
+            cache[model] = np.loadtxt(
+                os.path.join(self.data_dir_imgs, model, "rendering",
+                             "rendering_metadata.txt")
+            )
+        return cache[model]
+
     def __getitem__(self, index: int):
         model = self.modelnames[index]
         view = index % NUM_VIEWS

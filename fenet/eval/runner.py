@@ -81,37 +81,44 @@ def evaluate_dataset(
     Mirrors test_net's return convention (testnet.py:79): both Metrics carry
     the same [EMD, CD] averages, named for best-checkpoint comparison.
     """
+    import numpy as np
+
     step, mesh = make_eval_step(model, mesh=mesh, **step_kwargs)
-    meter = AverageMeter(Metrics.names())
+    n_dev = mesh.devices.size
+    emd_sum = cd_sum = 0.0
     n_samples = 0
     t0 = time.time()
     for i, batch in enumerate(dataloader, start=1):
-        sharded = shard_batch(
-            {"image": batch["image"], "points": batch["points"]}, mesh
-        )
+        images, points = batch["image"], batch["points"]
+        valid = images.shape[0]
+        pad = (-valid) % n_dev  # shard_map needs divisible batches
+        if pad:
+            images = np.concatenate([images, images[-1:].repeat(pad, 0)])
+            points = np.concatenate([points, points[-1:].repeat(pad, 0)])
+        sharded = shard_batch({"image": images, "points": points}, mesh)
         out = step(variables, sharded["image"], sharded["points"])
-        emd = float(jnp.mean(out["emd"]))
-        cd = float(jnp.mean(out["cd"]))
-        bsz = batch["image"].shape[0]
-        n_samples += bsz
-        for _ in range(bsz):  # weight by sample for exact dataset means
-            meter.update([emd, cd])
+        emd = np.asarray(out["emd"])[:valid]
+        cd = np.asarray(out["cd"])[:valid]
+        emd_sum += float(emd.sum())
+        cd_sum += float(cd.sum())
+        n_samples += valid
         if logger is not None:
             logger.info(
                 "Test[%d/%d] Taxonomy = %s Metrics = %s",
                 i, len(dataloader), category,
-                ["%.4f" % m for m in (emd, cd)],
+                ["%.4f" % m for m in (emd.mean(), cd.mean())],
             )
     wall = time.time() - t0
+    avg = [emd_sum / max(n_samples, 1), cd_sum / max(n_samples, 1)]
     summary = {
-        "EMD_distance": meter.avg(0),
-        "ChamferDistance": meter.avg(1),
+        "EMD_distance": avg[0],
+        "ChamferDistance": avg[1],
         "samples": n_samples,
         "wall_seconds": wall,
         "samples_per_second": n_samples / wall if wall > 0 else 0.0,
     }
     return (
-        Metrics("ChamferDistance", meter.avg()),
-        Metrics("EMD_distance", meter.avg()),
+        Metrics("ChamferDistance", avg),
+        Metrics("EMD_distance", avg),
         summary,
     )

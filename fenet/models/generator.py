@@ -132,22 +132,33 @@ class Generator(nn.Module):
     """Flagship model: cmlp cascaded generator (…_cmlp.py:210-336).
 
     Returns ``(pc1, pc2, pc3)`` = (B,128,3), (B,256,3), (B,num_points,3).
+    setup()-style so bound submodules (``.backbone``, ``.edge``, ``.decoder``)
+    are addressable for Grad-CAM and feature taps.
     """
 
     num_points: int = 1024
     backbone: str = "RepVGG-A2"
     deploy: bool = False
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False):
-        edge = EdgeBranch(name="edge")(x, train=train)
-        feat = RepVGG(
+    def setup(self):
+        self.edge = EdgeBranch(name="edge")
+        self.backbone_net = RepVGG(
             config=REPVGG_CONFIGS[self.backbone],
             deploy=self.deploy,
             name="RepVGG",
-        )(x, train=train)
-        fused = jnp.concatenate([feat, edge], axis=1)  # (B, 2000)
-        return CascadedDecoder(self.num_points, name="decoder")(fused)
+        )
+        self.decoder = CascadedDecoder(self.num_points, name="decoder")
+
+    def decode(self, feature_map: jnp.ndarray, x: jnp.ndarray,
+               train: bool = False):
+        """Decoder path from a backbone feature map (Grad-CAM re-entry)."""
+        feat = self.backbone_net.head(feature_map)
+        edge = self.edge(x, train=train)
+        return self.decoder(jnp.concatenate([feat, edge], axis=1))
+
+    def __call__(self, x: jnp.ndarray, train: bool = False):
+        feature_map = self.backbone_net.forward_features(x, train=train)
+        return self.decode(feature_map, x, train=train)
 
 
 class SimpleGenerator(nn.Module):

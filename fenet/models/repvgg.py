@@ -171,23 +171,35 @@ class RepVGG(nn.Module):
                 layer_idx += 1
         return plan
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def setup(self):
         cfg = self.config
-        for name, planes, stride, groups in self._stage_plan():
-            x = RepVGGBlock(
+        self.blocks = [
+            RepVGGBlock(
                 planes,
                 stride=stride,
                 groups=groups,
                 use_se=cfg.use_se,
                 deploy=self.deploy,
                 name=name,
-            )(x, train=train)
-            # Expose per-stage feature maps for Grad-CAM style introspection
-            # (models/heatmap.py); retrievable via capture_intermediates.
-            self.sow("intermediates", f"{name}_out", x)
-        x = jnp.mean(x, axis=(1, 2))  # GAP (…_cmlp.py:183, AdaptiveAvgPool(1))
-        return nn.Dense(cfg.num_classes, name="linear")(x)
+            )
+            for name, planes, stride, groups in self._stage_plan()
+        ]
+        self.linear = nn.Dense(cfg.num_classes, name="linear")
+
+    def forward_features(self, x: jnp.ndarray, train: bool = False):
+        """Conv stages only -> final (B, H, W, C) feature map. Separated out
+        for Grad-CAM-style introspection (models/heatmap.py equivalent)."""
+        for block in self.blocks:
+            x = block(x, train=train)
+            self.sow("intermediates", f"{block.name}_out", x)
+        return x
+
+    def head(self, feature_map: jnp.ndarray) -> jnp.ndarray:
+        """GAP + classifier (…_cmlp.py:183, AdaptiveAvgPool(1) + Linear)."""
+        return self.linear(jnp.mean(feature_map, axis=(1, 2)))
+
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        return self.head(self.forward_features(x, train=train))
 
 
 def create_repvgg(name: str, deploy: bool = False) -> RepVGG:

@@ -1,0 +1,65 @@
+"""Grad-CAM over the generator backbone (models/heatmap.py:43-126,
+utils/gradcam.py:9-54), as a pure JAX gradient computation.
+
+The torch version registers forward/backward hooks on a module; here the
+generator's decode path is re-entered from the backbone feature map, and
+``jax.grad`` w.r.t. that feature map gives the CAM weights directly.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def grad_cam(
+    model,
+    variables,
+    image: np.ndarray,
+    target_fn=None,
+    upsample_to: Optional[int] = 128,
+) -> np.ndarray:
+    """Compute a (H, W) heatmap for one image (1, 128, 128, 3).
+
+    ``target_fn(pc3) -> scalar`` defaults to the output L2 norm, the torch
+    driver's choice of scalar target (heatmap.py:73-80).
+    """
+    if target_fn is None:
+        target_fn = lambda pc3: jnp.sqrt(jnp.sum(pc3**2))
+
+    image = jnp.asarray(image, jnp.float32)
+    bound = model.bind(variables)
+    feature_map = bound.backbone_net.forward_features(image, train=False)
+
+    def from_features(fmap):
+        _, _, pc3 = bound.decode(fmap, image, train=False)
+        return target_fn(pc3)
+
+    grads = jax.grad(from_features)(feature_map)  # (1, h, w, c)
+    weights = jnp.mean(grads, axis=(1, 2), keepdims=True)  # GAP of grads
+    cam = jnp.maximum(jnp.sum(weights * feature_map, axis=-1), 0.0)[0]
+    cam = cam / (jnp.max(cam) + 1e-8)
+    cam_np = np.asarray(cam)
+    if upsample_to is not None and cam_np.shape[0] != upsample_to:
+        try:
+            import cv2
+
+            cam_np = cv2.resize(cam_np, (upsample_to, upsample_to))
+        except ImportError:
+            cam_np = np.kron(
+                cam_np, np.ones((upsample_to // cam_np.shape[0],) * 2)
+            )
+    return cam_np
+
+
+def overlay_heatmap(image: np.ndarray, cam: np.ndarray,
+                    alpha: float = 0.4) -> np.ndarray:
+    """Blend a heatmap onto the source image (heatmap.py:110-121)."""
+    import cv2
+
+    heat = cv2.applyColorMap(np.uint8(255 * cam), cv2.COLORMAP_JET)
+    heat = cv2.cvtColor(heat, cv2.COLOR_BGR2RGB).astype(np.float32)
+    return np.clip(alpha * heat + (1 - alpha) * image, 0, 255).astype(np.uint8)
