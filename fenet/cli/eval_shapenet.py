@@ -33,6 +33,8 @@ def main(argv=None):
     parser.add_argument("--backbone", type=str, default="RepVGG-A2")
     parser.add_argument("--cats", nargs="*", default=ALL_CATS)
     parser.add_argument("--no_icp", action="store_true")
+    parser.add_argument("--icp_iters", type=int, default=1024)
+    parser.add_argument("--emd_iters", type=int, default=50)
     opt = parser.parse_args(argv)
     print(opt)
 
@@ -58,7 +60,8 @@ def main(argv=None):
         loader = DataLoader(ds, opt.batchSize, drop_last=False)
         cd_m, emd_m, summary = evaluate_dataset(
             gen, variables, loader, category=cat, logger=logger,
-            align=not opt.no_icp,
+            align=not opt.no_icp, icp_iterations=opt.icp_iters,
+            emd_iters=opt.emd_iters,
         )
         results[cat] = summary
         print(cat, json.dumps(summary))

@@ -38,6 +38,20 @@ def emd_loss(
     return jnp.sqrt(dist).mean(axis=1).mean()
 
 
+def point_loss(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    """The reference's naive-oracle PointLoss (utils/utils.py:246-298):
+    0.5*mean(dist1) + 0.5*mean(dist2), x100."""
+    dist1, dist2, _, _ = chamfer_distance(pred, gt)
+    return (0.5 * jnp.mean(dist1) + 0.5 * jnp.mean(dist2)) * 100.0
+
+
+def point_loss_test(pred: jnp.ndarray, gt: jnp.ndarray):
+    """PointLoss_test (utils/utils.py:279-306): (d1+d2, d1, d2) means."""
+    dist1, dist2, _, _ = chamfer_distance(pred, gt)
+    d1, d2 = jnp.mean(dist1), jnp.mean(dist2)
+    return d1 + d2, d1, d2
+
+
 class Loss:
     """Object facade mirroring loss/loss.py's class Loss."""
 

@@ -22,6 +22,7 @@ import dataclasses
 from typing import Any, Dict, Mapping, Optional, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 _BN_EPS = 1e-5  # torch BatchNorm2d default
@@ -272,6 +273,44 @@ def fold_block(
 
 def _is_repvgg_block(subtree) -> bool:
     return isinstance(subtree, Mapping) and "rbr_dense_conv" in subtree
+
+
+def block_custom_l2(params: Mapping[str, Any],
+                    batch_stats: Mapping[str, Any]) -> jnp.ndarray:
+    """The RepVGG custom weight-decay term for one block
+    (get_custom_L2, …_cmlp.py:84-93): regular L2 on the 3x3 kernel's ring,
+    plus L2 of the BN-equivalent fused center normalized by t3^2 + t1^2.
+    Flax layout (kh, kw, I, O); BN factors are stop-gradiented like the
+    torch .detach().
+    """
+    k3 = params["rbr_dense_conv"]["kernel"]
+    k1 = params["rbr_1x1_conv"]["kernel"]
+    t3 = jax.lax.stop_gradient(
+        params["rbr_dense_bn"]["scale"]
+        / jnp.sqrt(batch_stats["rbr_dense_bn"]["var"] + _BN_EPS)
+    )
+    t1 = jax.lax.stop_gradient(
+        params["rbr_1x1_bn"]["scale"]
+        / jnp.sqrt(batch_stats["rbr_1x1_bn"]["var"] + _BN_EPS)
+    )
+    l2_ring = jnp.sum(k3**2) - jnp.sum(k3[1:2, 1:2] ** 2)
+    eq_center = k3[1:2, 1:2] * t3 + k1 * t1
+    l2_center = jnp.sum(eq_center**2 / (t3**2 + t1**2))
+    return l2_center + l2_ring
+
+
+def model_custom_l2(params: Mapping[str, Any],
+                    batch_stats: Mapping[str, Any]) -> jnp.ndarray:
+    """Sum of block_custom_l2 over every RepVGG block in a model tree."""
+    if _is_repvgg_block(params):
+        return block_custom_l2(params, batch_stats)
+    total = jnp.float32(0.0)
+    for key, sub in params.items():
+        if _is_repvgg_block(sub):
+            total = total + block_custom_l2(sub, batch_stats[key])
+        elif isinstance(sub, Mapping):
+            total = total + model_custom_l2(sub, batch_stats.get(key, {}))
+    return total
 
 
 def fold_repvgg_params(

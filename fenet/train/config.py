@@ -43,6 +43,11 @@ class TrainConfig:
 
     # validation epochs (train.py:211)
     validate_epochs: Sequence[int] = (10, 30, 50)
+    # eval-time ICP settings (testnet.py:63)
+    eval_icp_iterations: int = 1024
+    eval_icp_tolerance: float = 1e-10
+    eval_emd_iters: int = 50
+    eval_emd_eps: float = 0.005
 
     # finetune projection loss (finetune.py)
     grid_h: int = 64

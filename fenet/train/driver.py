@@ -168,6 +168,10 @@ def train_net(
             cd_m, emd_m, summary = evaluate_dataset(
                 gen, variables, val_loader, category=cat, logger=logger,
                 mesh=trainer.mesh,
+                icp_iterations=cfg.eval_icp_iterations,
+                icp_tolerance=cfg.eval_icp_tolerance,
+                emd_iters=cfg.eval_emd_iters,
+                emd_eps=cfg.eval_emd_eps,
             )
             is_best = cd_m.better_than(best_chamfer) and emd_m.better_than(
                 best_emd

@@ -52,3 +52,33 @@ class AverageMeter:
         if idx is None:
             return [one(i) for i in range(self.n_items)]
         return one(idx)
+
+
+class ProgressMeter:
+    """Formatted batch-progress printer (utils/utils.py:30-47)."""
+
+    def __init__(self, num_batches: int, meters, prefix: str = ""):
+        fmt = "{:" + str(len(str(num_batches))) + "d}"
+        self.batch_fmtstr = "[" + fmt + "/" + fmt.format(num_batches) + "]"
+        self.meters = meters
+        self.prefix = prefix
+
+    def display(self, batch: int):
+        entries = [self.prefix + self.batch_fmtstr.format(batch)]
+        entries += [str(meter) for meter in self.meters]
+        print("\t".join(entries))
+
+
+def accuracy(output, target, topk=(1,)):
+    """Top-k classification accuracy (utils/utils.py:49-64), numpy/jnp."""
+    import numpy as np
+
+    output = np.asarray(output)
+    target = np.asarray(target)
+    maxk = max(topk)
+    batch = target.shape[0]
+    pred = np.argsort(-output, axis=1)[:, :maxk].T  # (maxk, B)
+    correct = pred == target[None, :]
+    return [
+        float(correct[:k].reshape(-1).sum()) * 100.0 / batch for k in topk
+    ]

@@ -1,0 +1,73 @@
+"""Sinkhorn EMD, custom L2, point-loss helpers, progress meter, accuracy."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fenet.losses.facade import point_loss, point_loss_test
+from fenet.losses.sinkhorn import batch_emd_loss, sinkhorn_distance
+from fenet.models.repvgg import RepVGGBlock, model_custom_l2
+from fenet.utils.average_meter import AverageMeter, ProgressMeter, accuracy
+
+
+def test_sinkhorn_zero_for_identical_and_positive():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, 64, 3), jnp.float32)
+    y = jnp.asarray(rng.rand(2, 64, 3), jnp.float32)
+    same = sinkhorn_distance(x, x, blur=0.05, iters=100)
+    diff = sinkhorn_distance(x, y, blur=0.05, iters=100)
+    assert float(jnp.max(same)) < 0.05
+    assert (np.asarray(diff) > np.asarray(same)).all()
+    # differentiable
+    g = jax.grad(lambda a: batch_emd_loss(a, y, 0.05, 20))(x)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_sinkhorn_approaches_true_ot():
+    """Small blur -> near the exact Hungarian cost."""
+    import scipy.optimize
+
+    rng = np.random.RandomState(1)
+    x = rng.rand(1, 32, 3).astype(np.float32)
+    y = rng.rand(1, 32, 3).astype(np.float32)
+    got = float(sinkhorn_distance(jnp.asarray(x), jnp.asarray(y),
+                                  blur=0.03, iters=500)[0])
+    c = ((x[0][:, None] - y[0][None]) ** 2).sum(-1)
+    ri, ci = scipy.optimize.linear_sum_assignment(c)
+    exact = c[ri, ci].mean()
+    assert abs(got - exact) < 0.3 * exact + 0.01, (got, exact)
+
+
+def test_custom_l2_positive_and_differentiable():
+    x = jnp.zeros((1, 8, 8, 16))
+    block = RepVGGBlock(16)
+    variables = block.init(jax.random.PRNGKey(0), x, train=False)
+    l2 = model_custom_l2(variables["params"], variables["batch_stats"])
+    assert float(l2) > 0
+    g = jax.grad(
+        lambda p: model_custom_l2(p, variables["batch_stats"])
+    )(variables["params"])
+    leaves = jax.tree_util.tree_leaves(g)
+    assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+
+def test_point_loss_helpers():
+    rng = np.random.RandomState(2)
+    a = jnp.asarray(rng.rand(2, 64, 3), jnp.float32)
+    b = jnp.asarray(rng.rand(2, 64, 3), jnp.float32)
+    pl = float(point_loss(a, b))
+    total, d1, d2 = point_loss_test(a, b)
+    np.testing.assert_allclose(pl, 50 * float(d1) + 50 * float(d2), rtol=1e-5)
+    np.testing.assert_allclose(float(total), float(d1) + float(d2), rtol=1e-5)
+
+
+def test_progress_meter_and_accuracy(capsys):
+    m = AverageMeter()
+    m.update(1.0)
+    pm = ProgressMeter(10, [m], prefix="ep1 ")
+    pm.display(3)
+    assert "ep1" in capsys.readouterr().out
+    out = np.array([[0.1, 0.9, 0.0], [0.8, 0.1, 0.1]])
+    tgt = np.array([1, 2])
+    top1, top2 = accuracy(out, tgt, topk=(1, 2))
+    assert top1 == 50.0 and top2 == 50.0

@@ -1,0 +1,124 @@
+"""End-to-end integration: train_net on a synthetic on-disk ShapeNet tree,
+then the eval / render / prep CLIs against its outputs — the full minimum
+slice of SURVEY.md §7.5 on the 8-device CPU mesh."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from fenet.data.synthetic import write_synthetic_shapenet
+from fenet.train.config import TrainConfig
+from fenet.train.driver import train_net
+
+CAT = "02691156"
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("e2e"))
+    write_synthetic_shapenet(root, cats=(CAT,), models_per_cat=2)
+    return root
+
+
+@pytest.fixture(scope="module")
+def trained(workdir):
+    cfg = TrainConfig(
+        batch_size=8,
+        nepoch=1,
+        validate_epochs=(1,),
+        lr=1e-3,
+        emd_iters=5,
+        eval_icp_iterations=8,
+        eval_emd_iters=5,
+        backbone="RepVGG-TEST",
+        data_parallel=8,
+        manual_seed=3,
+        dir_path=os.path.join(workdir, "output") + "/",
+        splits_path=os.path.join(workdir, "splits"),
+        data_dir_imgs=os.path.join(workdir, "ShapeNetRendering") + "/",
+        data_dir_pcl=os.path.join(workdir, "ShapeNet_pointclouds") + "/",
+    )
+    return train_net(CAT, cfg), cfg
+
+
+def test_train_net_end_to_end(trained):
+    result, cfg = trained
+    ckpt_dir = result["ckpt_dir"]
+    assert os.path.exists(os.path.join(ckpt_dir, f"{CAT}_checkpoint_1.ckpt"))
+    assert os.path.exists(os.path.join(ckpt_dir, "model_best.ckpt"))
+    assert os.path.exists(os.path.join(ckpt_dir, "logging.log"))
+    hist = result["history"]
+    assert len(hist) == 1 and np.isfinite(hist[0]["chamfer_loss"])
+    assert "val" in hist[0] and hist[0]["val"]["samples"] == 48
+
+
+def test_eval_cli_on_trained_checkpoint(workdir, trained):
+    from fenet.cli.eval_shapenet import main
+
+    results = main([
+        "--model", os.path.join(workdir, "output", "%s", "checkpoints") + "/",
+        "--splits_path", os.path.join(workdir, "splits"),
+        "--data_dir_imgs", os.path.join(workdir, "ShapeNetRendering") + "/",
+        "--data_dir_pcl", os.path.join(workdir, "ShapeNet_pointclouds") + "/",
+        "--backbone", "RepVGG-TEST",
+        "--batchSize", "16",
+        "--icp_iters", "8",
+        "--emd_iters", "5",
+        "--cats", CAT,
+    ])
+    assert CAT in results
+    assert results[CAT]["samples"] == 48
+    assert np.isfinite(results[CAT]["ChamferDistance"])
+
+
+def test_resume_from_checkpoint(workdir, trained):
+    _, cfg = trained
+    cfg2 = TrainConfig(**{**cfg.__dict__, "resume": True, "nepoch": 2,
+                          "validate_epochs": ()})
+    result = train_net(CAT, cfg2)
+    assert result["history"][0]["epoch"] == 2  # continued after epoch 1
+
+
+def test_render_cli(workdir, trained):
+    from fenet.cli.render import main
+
+    out_dir = os.path.join(workdir, "renders")
+    main([
+        "--category", CAT,
+        "--model", os.path.join(workdir, "output", "%s", "checkpoints") + "/",
+        "--splits_path", os.path.join(workdir, "splits"),
+        "--data_dir_imgs", os.path.join(workdir, "ShapeNetRendering") + "/",
+        "--data_dir_pcl", os.path.join(workdir, "ShapeNet_pointclouds") + "/",
+        "--backbone", "RepVGG-TEST",
+        "--out_dir", out_dir,
+        "--n_samples", "1",
+    ])
+    assert os.path.exists(os.path.join(out_dir, f"{CAT}_000.png"))
+
+
+def test_prepare_data_cli(workdir):
+    from fenet.cli.prepare_data import main
+
+    main([
+        "--splits_path", os.path.join(workdir, "splits"),
+        "--data_dir_pcl", os.path.join(workdir, "ShapeNet_pointclouds") + "/",
+        "--overwrite",
+    ])
+
+
+def test_gradcam_on_generator(trained):
+    import jax
+
+    from fenet.models.generator import Generator
+    from fenet.viz.gradcam import grad_cam
+
+    result, cfg = trained
+    gen = result["model"]
+    state = result["state"]
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    img = np.random.RandomState(0).rand(1, 128, 128, 3).astype(np.float32)
+    cam = grad_cam(gen, variables, img)
+    assert cam.shape == (128, 128)
+    assert np.isfinite(cam).all() and cam.max() <= 1.0 + 1e-6
