@@ -26,6 +26,11 @@ import jax.numpy as jnp
 
 from fenet.ops.pairwise import pairwise_sqdist
 
+# TPU's default matmul precision rounds fp32 operands to bf16; every
+# contraction here is correctness-critical (covariances, rotations, the 4x4
+# eigen-solver), so force full-precision MXU passes throughout.
+_HI = jax.lax.Precision.HIGHEST
+
 
 def best_fit_transform(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Least-squares rigid transform mapping corresponding points a -> b.
@@ -36,13 +41,13 @@ def best_fit_transform(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     cb = jnp.mean(b, axis=0)
     aa = a - ca
     bb = b - cb
-    h = aa.T @ bb
+    h = jnp.matmul(aa.T, bb, precision=_HI)
     u, _, vt = jnp.linalg.svd(h)
-    r = vt.T @ u.T
+    r = jnp.matmul(vt.T, u.T, precision=_HI)
     # Reflection fix: recompute with the last row of Vt negated.
     vt_fixed = vt.at[-1, :].multiply(-1.0)
-    r = jnp.where(jnp.linalg.det(r) < 0, vt_fixed.T @ u.T, r)
-    t = cb - r @ ca
+    r = jnp.where(jnp.linalg.det(r) < 0, jnp.matmul(vt_fixed.T, u.T, precision=_HI), r)
+    t = cb - jnp.matmul(r, ca, precision=_HI)
     top = jnp.concatenate([r, t[:, None]], axis=1)  # (3, 4)
     return jnp.concatenate(
         [top, jnp.array([[0.0, 0.0, 0.0, 1.0]])], axis=0
@@ -72,7 +77,7 @@ def icp(
         src, prev_err, it, _ = state
         dist, idx = _nn(src, b)
         t = best_fit_transform(src, b[idx])
-        src = src @ t[:3, :3].T + t[:3, 3]
+        src = jnp.matmul(src, t[:3, :3].T, precision=_HI) + t[:3, 3]
         err = jnp.mean(dist)
         done = jnp.abs(prev_err - err) < tolerance
         return src, err, it + 1, done
@@ -86,22 +91,149 @@ def icp(
     return t_final, dist, iters
 
 
+# ---------------------------------------------------------------------------
+# Natively-batched ICP (the eval hot path)
+#
+# Profiling on v5e: the per-iteration cost of the vmapped solver is dominated
+# by the batched 3x3 jnp.linalg.svd (~0.2 ms per iteration — TPU lowers SVD to
+# an iterative QDWH algorithm). The batched solver below replaces the SVD with
+# Horn's quaternion method: the optimal *proper* rotation is the dominant
+# eigenvector of a 4x4 matrix built from the covariance, found by a fixed
+# power iteration (pure batched matvecs). It needs no reflection fix at all —
+# the quaternion parameterization only spans rotations — and is ~10x cheaper
+# per iteration.
+# ---------------------------------------------------------------------------
+
+
+def _quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
+    """(B, 4) unit quaternions (w, x, y, z) -> (B, 3, 3) rotations."""
+    w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    return jnp.stack(
+        [
+            jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z),
+                       2 * (x * z + w * y)], -1),
+            jnp.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z),
+                       2 * (y * z - w * x)], -1),
+            jnp.stack([2 * (x * z - w * y), 2 * (y * z + w * x),
+                       1 - 2 * (x * x + y * y)], -1),
+        ],
+        axis=1,
+    )
+
+
+def best_fit_rotation_batched(a: jnp.ndarray, b: jnp.ndarray):
+    """Batched least-squares proper rotation + translation mapping a -> b.
+
+    a, b: (B, N, 3) corresponding points. Returns (R (B,3,3), t (B,3)).
+    """
+    ca = jnp.mean(a, axis=1)
+    cb = jnp.mean(b, axis=1)
+    h = jnp.einsum("bni,bnj->bij", a - ca[:, None], b - cb[:, None], precision=_HI)
+    sxx, sxy, sxz = h[:, 0, 0], h[:, 0, 1], h[:, 0, 2]
+    syx, syy, syz = h[:, 1, 0], h[:, 1, 1], h[:, 1, 2]
+    szx, szy, szz = h[:, 2, 0], h[:, 2, 1], h[:, 2, 2]
+    k = jnp.stack(
+        [
+            jnp.stack([sxx + syy + szz, syz - szy, szx - sxz, sxy - syx], -1),
+            jnp.stack([syz - szy, sxx - syy - szz, sxy + syx, szx + sxz], -1),
+            jnp.stack([szx - sxz, sxy + syx, syy - sxx - szz, syz + szy], -1),
+            jnp.stack([sxy - syx, szx + sxz, syz + szy, szz - sxx - syy], -1),
+        ],
+        axis=1,
+    )  # (B, 4, 4), symmetric; dominant eigenvector = optimal quaternion
+    # Shift (Gershgorin bound, kept tight so the spectral ratio stays usable)
+    # to make the dominant eigenvalue the largest in magnitude, then power-
+    # iterate by repeated normalized squaring: K^(2^16) in 16 batched 4x4
+    # matmuls. Repeated squaring amplifies even tiny eigengaps ((1+g)^65536),
+    # which a fixed-count matvec power iteration cannot — with a weak gap the
+    # quaternion would be wrong and ICP oscillates instead of converging.
+    shift = jnp.max(jnp.sum(jnp.abs(k), axis=2), axis=1) + 1e-6
+    k = k + shift[:, None, None] * jnp.eye(4)
+    for _ in range(16):
+        k = jnp.einsum("bij,bjk->bik", k, k, precision=_HI)
+        k = k / (
+            jnp.sqrt(jnp.sum(k * k, axis=(1, 2), keepdims=True)) + 1e-30
+        )
+    v0 = jnp.full((a.shape[0], 4), 0.5)
+    q = jnp.einsum("bij,bj->bi", k, v0, precision=_HI)
+    q = q / (jnp.linalg.norm(q, axis=1, keepdims=True) + 1e-20)
+    r = _quat_to_rotmat(q)
+    t = cb - jnp.einsum("bij,bj->bi", r, ca, precision=_HI)
+    return r, t
+
+
+def _nn_batched(src: jnp.ndarray, dst: jnp.ndarray):
+    """Batched NN: (B, N, 3) into (B, M, 3) -> (sqrt dists (B,N), idx).
+
+    Plain XLA on purpose: the compiler fuses the row-min/argmin into the
+    matmul epilogue, so the (B, N, M) distance matrix never fully
+    materializes (measured ~0.3 ms at B=48, N=1024 on v5e — faster than a
+    hand-tiled Pallas variant whose 96 small programs pay more in per-program
+    overhead than the fusion saves)."""
+    d = pairwise_sqdist(src, dst)
+    return jnp.sqrt(jnp.min(d, axis=-1)), jnp.argmin(d, axis=-1)
+
+
 @functools.partial(jax.jit, static_argnames=("max_iterations",))
 def batched_icp(
     a: jnp.ndarray,
     b: jnp.ndarray,
     max_iterations: int = 1024,
     tolerance: float = 1e-10,
+    rel_tolerance: float = 1e-6,
 ) -> jnp.ndarray:
-    """vmapped ICP over (B, N, 3) pairs; returns (B, 4, 4) transforms.
+    """Natively-batched ICP over (B, N, 3) pairs; returns (B, 4, 4).
 
-    Defaults are the eval driver's settings (testnet.py:63).
+    Same convergence semantics as :func:`icp` per element (elements that
+    converge are frozen; the loop exits when all have). Defaults are the eval
+    driver's settings (testnet.py:63).
+
+    ``rel_tolerance``: fp32 plateau detection. The reference's 1e-10 absolute
+    tolerance works on fp64 host ICP, where the error change hits an exact
+    plateau after a few dozen iterations; in fp32 the change bottoms out at
+    ~1e-7*err of rounding noise and the absolute test never fires, burning
+    the full iteration budget on a converged solution. An element is
+    therefore also done when |Δerr| < rel_tolerance * err — the same
+    "error stopped changing" semantics at fp32 precision. Set it to 0 to
+    force the literal absolute test.
     """
-    fn = functools.partial(
-        icp, max_iterations=max_iterations, tolerance=tolerance
+    bsz = a.shape[0]
+
+    def cond(state):
+        _, _, it, done = state
+        return jnp.logical_and(it < max_iterations, ~jnp.all(done))
+
+    def body(state):
+        src, prev_err, it, done = state
+        dist, idx = _nn_batched(src, b)
+        matched = jnp.take_along_axis(b, idx[..., None], axis=1)
+        r, t = best_fit_rotation_batched(src, matched)
+        new_src = jnp.einsum("bni,bji->bnj", src, r, precision=_HI) + t[:, None, :]
+        err = jnp.mean(dist, axis=1)
+        delta = jnp.abs(prev_err - err)
+        # Plateau threshold has a small absolute floor (clouds are ~unit
+        # scale): once alignment is near-perfect, err -> 0 and a purely
+        # relative test would chase fp noise forever.
+        newly_done = (delta < tolerance) | (
+            delta < rel_tolerance * (err + 0.01)
+        )
+        src = jnp.where(done[:, None, None], src, new_src)
+        err = jnp.where(done, prev_err, err)
+        return src, err, it + 1, done | newly_done
+
+    src0 = a
+    src, _, _, _ = jax.lax.while_loop(
+        cond,
+        body,
+        (src0, jnp.zeros((bsz,), jnp.float32), jnp.int32(0),
+         jnp.zeros((bsz,), bool)),
     )
-    t, _, _ = jax.vmap(lambda x, y: fn(x, y))(a, b)
-    return t
+    r, t = best_fit_rotation_batched(a, src)
+    top = jnp.concatenate([r, t[:, :, None]], axis=2)  # (B, 3, 4)
+    bottom = jnp.broadcast_to(
+        jnp.array([[[0.0, 0.0, 0.0, 1.0]]]), (bsz, 1, 4)
+    )
+    return jnp.concatenate([top, bottom], axis=1)
 
 
 def align_pred_to_gt(
@@ -109,11 +241,12 @@ def align_pred_to_gt(
     gt: jnp.ndarray,
     max_iterations: int = 1024,
     tolerance: float = 1e-10,
+    rel_tolerance: float = 1e-6,
 ) -> jnp.ndarray:
     """The eval drivers' alignment step (testnet.py:62-66): fit T = icp(gt,
     pred), then apply ``pred @ R - t`` to pull the prediction onto the GT."""
     t = batched_icp(gt, pred, max_iterations=max_iterations,
-                    tolerance=tolerance)
+                    tolerance=tolerance, rel_tolerance=rel_tolerance)
     r = t[:, :3, :3]
     tr = t[:, :3, 3]
-    return jnp.einsum("bnj,bjk->bnk", pred, r) - tr[:, None, :]
+    return jnp.einsum("bnj,bjk->bnk", pred, r, precision=_HI) - tr[:, None, :]

@@ -79,6 +79,7 @@ def _nn_kernel(x1_ref, x2_ref, dist_ref, idx_ref, *, m_valid: int):
         b,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,  # full-fp32 MXU passes
     )  # (TILE_N, M_pad) on the MXU
     d = jnp.maximum(aa + bb.T - 2.0 * ab, 0.0)
 

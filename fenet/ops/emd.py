@@ -143,6 +143,7 @@ def _emd_kernel(
     ab = jax.lax.dot_general(
         x1, x2, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     value_ref[:, :] = 3.0 - jnp.sqrt(jnp.maximum(aa + bb.T - 2.0 * ab, 0.0))
     price_ref[:, :] = jnp.zeros((1, n), jnp.float32)
@@ -250,6 +251,7 @@ def _emd_kernel(
         gathered = jax.lax.dot_general(
             onehot, x2, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # (CHUNK, CPAD)
         diff = x1_ref[0, sl, :] - gathered
         dist_ref[0, sl, :] = jnp.sum(diff * diff, axis=1, keepdims=True)

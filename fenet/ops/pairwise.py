@@ -21,8 +21,17 @@ def pairwise_sqdist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
       (..., N, M) squared distances, clamped at 0 (the matmul identity can go
       slightly negative under fp32 rounding).
     """
+    import jax
+
     aa = jnp.sum(a * a, axis=-1)
     bb = jnp.sum(b * b, axis=-1)
-    ab = jnp.einsum("...nc,...mc->...nm", a, b, preferred_element_type=jnp.float32)
+    # HIGHEST precision: TPU's default matmul rounds operands to bf16, which
+    # injects ~1e-2 absolute error into the distances — far beyond metric
+    # tolerance. The K=3 contraction is tiny, so full fp32 costs nothing.
+    ab = jnp.einsum(
+        "...nc,...mc->...nm", a, b,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     d = aa[..., :, None] + bb[..., None, :] - 2.0 * ab
     return jnp.maximum(d, 0.0)
