@@ -144,6 +144,9 @@ def run_reference_structured(model, variables, batches, n_samples=12):
 
 
 def main():
+    from fenet.utils.compilation_cache import enable
+
+    enable()  # big fused steps compile once per machine
     from fenet.parallel.mesh import make_mesh
 
     model, variables = _build_model_and_state()

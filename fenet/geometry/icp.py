@@ -150,7 +150,10 @@ def best_fit_rotation_batched(a: jnp.ndarray, b: jnp.ndarray):
     shift = jnp.max(jnp.sum(jnp.abs(k), axis=2), axis=1) + 1e-6
     k = k + shift[:, None, None] * jnp.eye(4)
     for _ in range(16):
-        k = jnp.einsum("bij,bjk->bik", k, k, precision=_HI)
+        # 4x4 matmul as a broadcast-sum: chained tiny HIGHEST-precision dots
+        # send the XLA TPU compiler into a ~200s pathological path; the
+        # elementwise form is bit-comparable and compiles in milliseconds.
+        k = jnp.sum(k[:, :, :, None] * k[:, None, :, :], axis=2)
         k = k / (
             jnp.sqrt(jnp.sum(k * k, axis=(1, 2), keepdims=True)) + 1e-30
         )
