@@ -49,8 +49,11 @@ _NEG = -1e9  # "minus infinity" for masked maxima (kept finite, like the CUDA co
 _CHUNK = 256
 # Coordinate padding for MXU-friendly contractions.
 _COORD_PAD = 8
-# The kernel keeps the (N, N) value matrix in VMEM; above this, fall back.
+# Up to this N the (N, N) value matrix lives in VMEM; beyond it the kernel
+# streams value chunks recomputed from coordinates each iteration.
 _MAX_N_IN_VMEM = 1024
+# Streaming-mode ceiling (chunk temporaries + per-point vectors in VMEM).
+_MAX_N_STREAMING = 8192
 
 
 # ---------------------------------------------------------------------------
@@ -133,19 +136,29 @@ def _emd_kernel(
     n: int,
     eps: float,
     iters: int,
+    store_value: bool = True,
 ):
     x1 = x1_ref[0]  # (N, CPAD)
     x2 = x2_ref[0]
+    bb_all = jnp.sum(x2 * x2, axis=1, keepdims=True)  # (N, 1)
 
-    # --- init: value matrix 3 - ||x1_i - x2_j||, auction state cleared ------
-    aa = jnp.sum(x1 * x1, axis=1, keepdims=True)
-    bb = jnp.sum(x2 * x2, axis=1, keepdims=True)
-    ab = jax.lax.dot_general(
-        x1, x2, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    value_ref[:, :] = 3.0 - jnp.sqrt(jnp.maximum(aa + bb.T - 2.0 * ab, 0.0))
+    def value_chunk(sl):
+        """3 - ||x1[sl] - x2|| for a row chunk, computed in VMEM."""
+        x1c = x1_ref[0, sl, :]
+        aa = jnp.sum(x1c * x1c, axis=1, keepdims=True)
+        ab = jax.lax.dot_general(
+            x1c, x2, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return 3.0 - jnp.sqrt(jnp.maximum(aa + bb_all.T - 2.0 * ab, 0.0))
+
+    # --- init: auction state cleared; value matrix precomputed when it fits
+    # in VMEM (N <= 1024), else streamed per chunk each iteration — the
+    # "blockwise" mode that lifts the reference kernel's shared-memory size
+    # ceiling (emd_cuda.cu:97) to N in the thousands.
+    if store_value:
+        value_ref[:, :] = value_chunk(pl.ds(0, n))
     price_ref[:, :] = jnp.zeros((1, n), jnp.float32)
     ass_ref[:, :] = jnp.full((n, 1), -1, jnp.int32)
 
@@ -160,7 +173,8 @@ def _emd_kernel(
         # Phase 1: per-row best / second-best bid over the fixed price.
         def phase1(c, _):
             sl = pl.ds(c * _CHUNK, _CHUNK)
-            bids = value_ref[sl, :] - price_ref[0:1, :]  # (CHUNK, N)
+            vc = value_ref[sl, :] if store_value else value_chunk(sl)
+            bids = vc - price_ref[0:1, :]  # (CHUNK, N)
             best = jnp.max(bids, axis=1, keepdims=True)
             bc = jnp.argmax(bids, axis=1, keepdims=True).astype(jnp.int32)
             better = jnp.max(
@@ -264,10 +278,13 @@ def _emd_kernel(
 @functools.partial(jax.jit, static_argnames=("eps", "iters", "interpret"))
 def _emd_pallas(xyz1, xyz2, eps: float, iters: int, interpret: bool = False):
     b, n, _ = xyz1.shape
+    store_value = n <= _MAX_N_IN_VMEM
     x1 = jnp.pad(xyz1, ((0, 0), (0, 0), (0, _COORD_PAD - 3)))
     x2 = jnp.pad(xyz2, ((0, 0), (0, 0), (0, _COORD_PAD - 3)))
     dist, ass = pl.pallas_call(
-        functools.partial(_emd_kernel, n=n, eps=eps, iters=iters),
+        functools.partial(
+            _emd_kernel, n=n, eps=eps, iters=iters, store_value=store_value
+        ),
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, n, _COORD_PAD), lambda i: (i, 0, 0),
@@ -284,7 +301,7 @@ def _emd_pallas(xyz1, xyz2, eps: float, iters: int, interpret: bool = False):
             jax.ShapeDtypeStruct((b, n, 1), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((n, n), jnp.float32),
+            pltpu.VMEM((n, n) if store_value else (8, 128), jnp.float32),
             pltpu.VMEM((1, n), jnp.float32),
             pltpu.VMEM((n, 1), jnp.int32),
             pltpu.VMEM((n, 1), jnp.int32),
@@ -301,7 +318,7 @@ def _emd_pallas(xyz1, xyz2, eps: float, iters: int, interpret: bool = False):
 def _use_pallas(n: int) -> bool:
     return (
         jax.default_backend() == "tpu"
-        and n <= _MAX_N_IN_VMEM
+        and n <= _MAX_N_STREAMING
         and n % _CHUNK == 0
     )
 
