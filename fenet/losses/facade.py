@@ -32,9 +32,10 @@ def emd_loss(
     gt: jnp.ndarray,
     eps: float = TRAIN_EMD_EPS,
     iters: int = TRAIN_EMD_ITERS,
+    scale_phases: int = 1,
 ) -> jnp.ndarray:
     """sqrt of matched squared distances, averaged (loss.py:18-28)."""
-    dist, _ = earth_mover_distance(pred, gt, eps, iters)
+    dist, _ = earth_mover_distance(pred, gt, eps, iters, scale_phases)
     return jnp.sqrt(dist).mean(axis=1).mean()
 
 

@@ -40,6 +40,9 @@ class TrainConfig:
     # EMD operator settings (loss/loss.py:23)
     emd_eps: float = 0.05
     emd_iters: int = 3000
+    # >1 enables epsilon-scaling in the training auction (same final-eps
+    # optimality, several times fewer iterations; 1 = strict reference mode)
+    emd_scale_phases: int = 1
 
     # validation epochs (train.py:211)
     validate_epochs: Sequence[int] = (10, 30, 50)

@@ -128,7 +128,10 @@ class Trainer:
                     mutable=["batch_stats"],
                 )
                 cd = chamfer_loss(pc3, points)
-                emd = emd_loss(pc3, points, cfg.emd_eps, cfg.emd_iters)
+                emd = emd_loss(
+                    pc3, points, cfg.emd_eps, cfg.emd_iters,
+                    cfg.emd_scale_phases,
+                )
                 if self.loss_mode == "finetune":
                     from fenet.geometry.projection import project_silhouettes
                     from fenet.losses.projection import get_loss_proj
