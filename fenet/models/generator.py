@@ -63,25 +63,29 @@ def _flatten_chw(x: jnp.ndarray) -> jnp.ndarray:
 
 
 class EdgeBranch(nn.Module):
-    """Edge feature path: fixed edge conv -> two strided convs -> 1000-d."""
+    """Edge feature path: fixed edge conv -> two strided convs -> 1000-d.
+
+    ``deploy=True`` expects BN folded into conv biases
+    (:func:`fold_generator_params`), mirroring the RepVGG deploy fold.
+    """
+
+    deploy: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         img = edge_conv2d(x)
-        e = nn.relu(
-            _bn("edge0_bn", train)(
-                nn.Conv(16, (3, 3), strides=(2, 2),
-                        padding=[(1, 1), (1, 1)], use_bias=False,
-                        name="edge0_conv")(img)
-            )
-        )  # (B, 64, 64, 16)
-        e = nn.relu(
-            _bn("edge2_bn", train)(
-                nn.Conv(3, (3, 3), strides=(2, 2),
-                        padding=[(1, 1), (1, 1)], use_bias=False,
-                        name="edge2_conv")(e)
-            )
-        )  # (B, 32, 32, 3)
+
+        def conv(features, name, inp):
+            out = nn.Conv(
+                features, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)],
+                use_bias=self.deploy, name=f"{name}_conv",
+            )(inp)
+            if not self.deploy:
+                out = _bn(f"{name}_bn", train)(out)
+            return nn.relu(out)
+
+        e = conv(16, "edge0", img)  # (B, 64, 64, 16)
+        e = conv(3, "edge2", e)  # (B, 32, 32, 3)
         return nn.Dense(1000, name="linear")(_flatten_chw(e))
 
 
@@ -141,7 +145,7 @@ class Generator(nn.Module):
     deploy: bool = False
 
     def setup(self):
-        self.edge = EdgeBranch(name="edge")
+        self.edge = EdgeBranch(deploy=self.deploy, name="edge")
         self.backbone_net = RepVGG(
             config=REPVGG_CONFIGS[self.backbone],
             deploy=self.deploy,
@@ -182,6 +186,27 @@ class SimpleGenerator(nn.Module):
         h = nn.leaky_relu(nn.Dense(1024, name="fc2")(h))
         h = jnp.tanh(nn.Dense(self.num_points * 3, name="fc3")(h))
         return h.reshape(x.shape[0], self.num_points, 3)
+
+
+def fold_generator_params(params, batch_stats):
+    """Full deploy fold for a Generator: RepVGG blocks via
+    :func:`fold_repvgg_params` plus the edge branch's plain conv+BN pairs.
+    Returns params for ``Generator(deploy=True)`` (no batch_stats needed)."""
+    from fenet.models.repvgg import _BN_EPS, fold_repvgg_params
+
+    folded = fold_repvgg_params(params, batch_stats)
+    edge = dict(folded["edge"])
+    for name in ("edge0", "edge2"):
+        conv = edge.pop(f"{name}_conv")
+        bn = edge.pop(f"{name}_bn")
+        stats = batch_stats["edge"][f"{name}_bn"]
+        t = bn["scale"] / jnp.sqrt(stats["var"] + _BN_EPS)
+        edge[f"{name}_conv"] = {
+            "kernel": conv["kernel"] * t[None, None, None, :],
+            "bias": bn["bias"] - stats["mean"] * t,
+        }
+    folded["edge"] = edge
+    return folded
 
 
 def transpose_clouds(*clouds: jnp.ndarray):

@@ -1,0 +1,41 @@
+"""Full-generator deploy fold: branched eval == folded deploy forward."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fenet.models.generator import Generator, fold_generator_params
+
+
+def test_generator_deploy_fold_equivalence():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, 128, 128, 3) * 255, jnp.float32)
+    gen = Generator(num_points=1024, backbone="RepVGG-TEST")
+    variables = gen.init(jax.random.PRNGKey(0), x[:1], train=False)
+
+    # randomize BN stats so the fold is non-trivial
+    import flax
+
+    variables = flax.core.unfreeze(variables)
+
+    def walk(tree):
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                walk(v)
+            elif k == "mean":
+                tree[k] = jnp.asarray(rng.normal(size=v.shape) * 0.3, jnp.float32)
+            elif k == "var":
+                tree[k] = jnp.asarray(rng.uniform(0.5, 2.0, size=v.shape), jnp.float32)
+
+    walk(variables["batch_stats"])
+
+    ref = gen.apply(variables, x, train=False)
+    folded = fold_generator_params(
+        variables["params"], variables["batch_stats"]
+    )
+    deploy = Generator(num_points=1024, backbone="RepVGG-TEST", deploy=True)
+    got = deploy.apply({"params": folded}, x, train=False)
+    for a, b in zip(ref, got):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3
+        )
