@@ -40,6 +40,8 @@ def main(argv=None):
     parser.add_argument("--backbone", type=str, default="RepVGG-A2")
     parser.add_argument("--cats", nargs="*",
                         default=["sofa", "table", "chair"])
+    parser.add_argument("--icp_iters", type=int, default=1024)
+    parser.add_argument("--emd_iters", type=int, default=50)
     opt = parser.parse_args(argv)
     print(opt)
 
@@ -61,7 +63,8 @@ def main(argv=None):
                           num_points=opt.num_points)
         loader = DataLoader(ds, opt.batchSize, drop_last=False)
         _, _, summary = evaluate_dataset(
-            gen, variables, loader, category=cat, logger=logger
+            gen, variables, loader, category=cat, logger=logger,
+            icp_iterations=opt.icp_iters, emd_iters=opt.emd_iters,
         )
         results[cat] = summary
         print(cat, json.dumps(summary))
