@@ -37,6 +37,12 @@ def add_common_args(parser: argparse.ArgumentParser):
                         help="devices in the batch mesh axis")
     parser.add_argument("--emd_iters", type=int, default=3000)
     parser.add_argument("--emd_eps", type=float, default=0.05)
+    parser.add_argument("--emd_scale_phases", type=int, default=1,
+                        help=">1 enables epsilon-scaling auction phases")
+    parser.add_argument("--validate_epochs", type=int, nargs="*",
+                        default=[10, 30, 50],
+                        help="epochs at which to validate + checkpoint "
+                             "(reference: 10 30 50)")
     return parser
 
 
@@ -63,6 +69,8 @@ def config_from_args(opt) -> TrainConfig:
         data_parallel=opt.data_parallel,
         emd_eps=opt.emd_eps,
         emd_iters=opt.emd_iters,
+        emd_scale_phases=opt.emd_scale_phases,
+        validate_epochs=tuple(opt.validate_epochs),
     )
 
 

@@ -72,6 +72,13 @@ def load_checkpoint(path: str, target: Optional[Dict[str, Any]] = None):
     structure (required for opt_state)."""
     import flax.serialization
 
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"checkpoint not found: {path} — train the category first "
+            "(checkpoints are written at the validation epochs, default "
+            "10/30/50; see --validate_epochs) or point --model at the "
+            "right output directory"
+        )
     with open(path, "rb") as f:
         blob = f.read()
     if target is not None:
