@@ -33,9 +33,12 @@ def emd_loss(
     eps: float = TRAIN_EMD_EPS,
     iters: int = TRAIN_EMD_ITERS,
     scale_phases: int = 1,
+    early_exit: bool = True,
 ) -> jnp.ndarray:
     """sqrt of matched squared distances, averaged (loss.py:18-28)."""
-    dist, _ = earth_mover_distance(pred, gt, eps, iters, scale_phases)
+    dist, _ = earth_mover_distance(
+        pred, gt, eps, iters, scale_phases, early_exit
+    )
     return jnp.sqrt(dist).mean(axis=1).mean()
 
 

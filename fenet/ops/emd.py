@@ -62,7 +62,8 @@ _MAX_N_STREAMING = 8192
 
 
 def _auction_element(x1: jnp.ndarray, x2: jnp.ndarray, eps: float, iters: int,
-                     scale_phases: int = 1, scale_factor: float = 5.0):
+                     scale_phases: int = 1, scale_factor: float = 5.0,
+                     early_exit: bool = True):
     """Dense masked auction for a single (N, 3) pair.
 
     ``scale_phases > 1`` enables classic epsilon-scaling: run the auction at
@@ -80,6 +81,8 @@ def _auction_element(x1: jnp.ndarray, x2: jnp.ndarray, eps: float, iters: int,
     def run_phase(eps_p, force_last, price0):
         def cond(state):
             it, ass, _ = state
+            if not early_exit:  # reference structure: all iters always run
+                return it < iters
             return jnp.logical_and(it < iters, jnp.any(ass < 0))
 
         def body(state):
@@ -133,10 +136,12 @@ def earth_mover_distance_ref(
     eps: float = 0.005,
     iters: int = 50,
     scale_phases: int = 1,
+    early_exit: bool = True,
 ):
     """Pure-XLA auction EMD. Same outputs as :func:`earth_mover_distance`."""
     fn = functools.partial(
-        _auction_element, eps=eps, iters=iters, scale_phases=scale_phases
+        _auction_element, eps=eps, iters=iters, scale_phases=scale_phases,
+        early_exit=early_exit,
     )
     return jax.vmap(fn)(xyz1.astype(jnp.float32), xyz2.astype(jnp.float32))
 
@@ -166,6 +171,7 @@ def _emd_kernel(
     store_value: bool = True,
     scale_phases: int = 1,
     scale_factor: float = 5.0,
+    early_exit: bool = True,
 ):
     x1 = x1_ref[0]  # (N, CPAD)
     x2 = x2_ref[0]
@@ -285,8 +291,12 @@ def _emd_kernel(
     for p in range(scale_phases):
         eps_p = eps * (scale_factor ** (scale_phases - 1 - p))
         ass_ref[:, :] = jnp.full((n, 1), -1, jnp.int32)
+        if early_exit:
+            loop_cond = lambda s: jnp.logical_and(s[0] < iters, s[1] > 0)
+        else:  # reference structure: the CUDA driver always runs all iters
+            loop_cond = lambda s: s[0] < iters
         jax.lax.while_loop(
-            lambda s: jnp.logical_and(s[0] < iters, s[1] > 0),
+            loop_cond,
             make_iteration(eps_p, p == scale_phases - 1),
             (jnp.int32(0), jnp.int32(n)),
         )
@@ -309,10 +319,11 @@ def _emd_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("eps", "iters", "scale_phases", "interpret")
+    jax.jit,
+    static_argnames=("eps", "iters", "scale_phases", "early_exit", "interpret"),
 )
 def _emd_pallas(xyz1, xyz2, eps: float, iters: int, scale_phases: int = 1,
-                interpret: bool = False):
+                early_exit: bool = True, interpret: bool = False):
     b, n, _ = xyz1.shape
     store_value = n <= _MAX_N_IN_VMEM
     x1 = jnp.pad(xyz1, ((0, 0), (0, 0), (0, _COORD_PAD - 3)))
@@ -320,7 +331,7 @@ def _emd_pallas(xyz1, xyz2, eps: float, iters: int, scale_phases: int = 1,
     dist, ass = pl.pallas_call(
         functools.partial(
             _emd_kernel, n=n, eps=eps, iters=iters, store_value=store_value,
-            scale_phases=scale_phases,
+            scale_phases=scale_phases, early_exit=early_exit,
         ),
         grid=(b,),
         in_specs=[
@@ -360,18 +371,37 @@ def _use_pallas(n: int) -> bool:
     )
 
 
+_warned_fallback: set = set()
+
+
+def _warn_fallback_once(n: int) -> None:
+    """Eval numerics change silently with shape if the Pallas kernel declines
+    (n % 256 != 0 or n > 8192) — say so once per shape on a TPU backend."""
+    if n in _warned_fallback or jax.default_backend() != "tpu":
+        return
+    _warned_fallback.add(n)
+    import logging
+
+    logging.getLogger("fenet.ops.emd").warning(
+        "EMD Pallas kernel declined for N=%d (needs N %% %d == 0 and "
+        "N <= %d); falling back to the XLA reference auction.",
+        n, _CHUNK, _MAX_N_STREAMING,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public op with custom VJP
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def earth_mover_distance(
     xyz1: jnp.ndarray,
     xyz2: jnp.ndarray,
     eps: float = 0.005,
     iters: int = 50,
     scale_phases: int = 1,
+    early_exit: bool = True,
 ):
     """Approximate EMD matching via the auction algorithm.
 
@@ -382,6 +412,10 @@ def earth_mover_distance(
         (train uses 0.05, eval 0.005 — loss/loss.py:23, utils/metrics.py:51).
       iters: max auction iterations (train 3000, eval 50). The loop exits as
         soon as the assignment is total.
+      early_exit: True (default) stops the auction loop once the assignment
+        is total; False reproduces the reference driver's structure, which
+        always launches all ``iters`` iterations (emd_cuda.cu:256) — used by
+        the bench.py reference-structured train baseline.
       scale_phases: 1 (default) = the reference's fixed-eps auction; >1 =
         classic epsilon-scaling — phases at eps*5^(P-1) ... eps with carried
         prices. Same final-eps optimality guarantee. Measured on v5e
@@ -394,10 +428,10 @@ def earth_mover_distance(
       ``(dist, assignment)``: (B, N) squared matched distances and (B, N)
       int32 gt indices, as in emd_module.py:16-19.
     """
-    return _emd_fwd_impl(xyz1, xyz2, eps, iters, scale_phases)
+    return _emd_fwd_impl(xyz1, xyz2, eps, iters, scale_phases, early_exit)
 
 
-def _emd_fwd_impl(xyz1, xyz2, eps, iters, scale_phases=1):
+def _emd_fwd_impl(xyz1, xyz2, eps, iters, scale_phases=1, early_exit=True):
     if xyz1.shape != xyz2.shape:
         raise ValueError(
             f"EMD requires same-size clouds, got {xyz1.shape} vs {xyz2.shape}"
@@ -405,16 +439,19 @@ def _emd_fwd_impl(xyz1, xyz2, eps, iters, scale_phases=1):
     xyz1 = xyz1.astype(jnp.float32)
     xyz2 = xyz2.astype(jnp.float32)
     if _use_pallas(xyz1.shape[1]):
-        return _emd_pallas(xyz1, xyz2, eps, iters, scale_phases)
-    return earth_mover_distance_ref(xyz1, xyz2, eps, iters, scale_phases)
+        return _emd_pallas(xyz1, xyz2, eps, iters, scale_phases, early_exit)
+    _warn_fallback_once(xyz1.shape[1])
+    return earth_mover_distance_ref(
+        xyz1, xyz2, eps, iters, scale_phases, early_exit
+    )
 
 
-def _emd_fwd(xyz1, xyz2, eps, iters, scale_phases):
-    dist, ass = _emd_fwd_impl(xyz1, xyz2, eps, iters, scale_phases)
+def _emd_fwd(xyz1, xyz2, eps, iters, scale_phases, early_exit):
+    dist, ass = _emd_fwd_impl(xyz1, xyz2, eps, iters, scale_phases, early_exit)
     return (dist, ass), (xyz1, xyz2, ass)
 
 
-def _emd_bwd(eps, iters, scale_phases, res, cotangents):
+def _emd_bwd(eps, iters, scale_phases, early_exit, res, cotangents):
     xyz1, xyz2, ass = res
     g, _ = cotangents
     bidx = jnp.arange(xyz1.shape[0])[:, None]

@@ -43,6 +43,9 @@ class TrainConfig:
     # >1 enables epsilon-scaling in the training auction (same final-eps
     # optimality, several times fewer iterations; 1 = strict reference mode)
     emd_scale_phases: int = 1
+    # False reproduces the reference driver's always-run-all-iters structure
+    # (emd_cuda.cu:256); used by bench.py's reference-structured baseline.
+    emd_early_exit: bool = True
 
     # validation epochs (train.py:211)
     validate_epochs: Sequence[int] = (10, 30, 50)

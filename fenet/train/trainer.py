@@ -130,7 +130,7 @@ class Trainer:
                 cd = chamfer_loss(pc3, points)
                 emd = emd_loss(
                     pc3, points, cfg.emd_eps, cfg.emd_iters,
-                    cfg.emd_scale_phases,
+                    cfg.emd_scale_phases, cfg.emd_early_exit,
                 )
                 if self.loss_mode == "finetune":
                     from fenet.geometry.projection import project_silhouettes

@@ -13,10 +13,20 @@ import os
 DEFAULT_DIR = os.path.expanduser("~/.cache/fenet_jax_cache")
 
 
-def enable(cache_dir: str | None = None) -> None:
+def enable(cache_dir: str | None = None, *, platform: str | None = None) -> None:
+    """Enable the persistent compile cache.
+
+    ``platform`` scopes the cache directory to a sub-directory (e.g.
+    ``cpu``): cache entries embed platform-specific AOT artifacts, and
+    sharing one directory between the axon TPU backend and a forced-CPU run
+    produced a libtpu AOT version-mismatch in round 1.  Pass the platform
+    whenever the run forces a non-default backend.
+    """
     import jax
 
     path = cache_dir or os.environ.get("FENET_JAX_CACHE", DEFAULT_DIR)
+    if platform:
+        path = os.path.join(path, platform)
     os.makedirs(path, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", path)
