@@ -70,6 +70,27 @@ def make_optimizer(weight_decay: float) -> optax.GradientTransformation:
     )
 
 
+# One jitted step per (model config, mesh, loss mode, trace-relevant config):
+# a fresh Trainer (resume, next category, benchmark re-run) would otherwise
+# re-trace + re-compile an identical program. Epoch and lr are traced
+# arguments, so nothing per-run leaks into the key.
+_TRAIN_STEP_CACHE: Dict[tuple, Any] = {}
+
+
+def _trace_key(config: TrainConfig, loss_mode: str) -> tuple:
+    """Config fields that change the traced program (all others — paths,
+    epochs, batch sizes — affect only the driver or input shapes)."""
+    key = (
+        loss_mode, config.weight_decay, config.lambda_cd, config.lambda_emd,
+        config.emd_eps, config.emd_iters, config.emd_scale_phases,
+        config.emd_early_exit,
+    )
+    if loss_mode == "finetune":
+        key += (config.lambda_bce, config.grid_h, config.grid_w,
+                config.sigma_sq)
+    return key
+
+
 class Trainer:
     """Owns the model, optimizer and the jitted sharded train/eval steps.
 
@@ -87,7 +108,16 @@ class Trainer:
         self.loss_mode = loss_mode
         self.mesh = mesh if mesh is not None else make_mesh(config.data_parallel)
         self.tx = make_optimizer(config.weight_decay)
-        self._train_step = self._build_train_step()
+        try:
+            key = (model, self.mesh) + _trace_key(config, loss_mode)
+            cached = _TRAIN_STEP_CACHE.get(key)
+        except TypeError:  # unhashable model config
+            key, cached = None, None
+        if cached is None:
+            cached = self._build_train_step()
+            if key is not None:
+                _TRAIN_STEP_CACHE[key] = cached
+        self._train_step = cached
 
     # -- state ---------------------------------------------------------------
 

@@ -63,3 +63,28 @@ def overlay_heatmap(image: np.ndarray, cam: np.ndarray,
     heat = cv2.applyColorMap(np.uint8(255 * cam), cv2.COLORMAP_JET)
     heat = cv2.cvtColor(heat, cv2.COLOR_BGR2RGB).astype(np.float32)
     return np.clip(alpha * heat + (1 - alpha) * image, 0, 255).astype(np.uint8)
+
+
+def save_cam_overlay(
+    model,
+    variables,
+    image: np.ndarray,
+    path: str,
+    alpha: float = 0.4,
+    target_fn=None,
+) -> np.ndarray:
+    """Compute the CAM, blend it onto the input image and write a PNG —
+    the draw_CAM save path (heatmap.py:43-126, overlay at :110-121).
+
+    ``image`` is (1, H, W, 3) or (H, W, 3) float32 in 0..255 (the raw
+    dataset convention). Returns the blended uint8 RGB array.
+    """
+    import cv2
+
+    img = np.asarray(image, np.float32)
+    batched = img[None] if img.ndim == 3 else img
+    cam = grad_cam(model, variables, batched, target_fn=target_fn,
+                   upsample_to=batched.shape[1])
+    blended = overlay_heatmap(batched[0], cam, alpha=alpha)
+    cv2.imwrite(path, cv2.cvtColor(blended, cv2.COLOR_RGB2BGR))
+    return blended

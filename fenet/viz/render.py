@@ -48,6 +48,34 @@ def save_cloud_png(ptcloud: np.ndarray, path: str, **kw):
     plt.imsave(path, img)
 
 
+def save_pix3d_cloud_png(
+    ptcloud: np.ndarray,
+    path: str,
+    scale: float = 0.45,
+    azim: float = -45.0,
+    elev: float = -165.0,
+    color: str = "r",
+) -> None:
+    """One cloud in the save_pix3d_img.py style (:101-126): fixed +-scale
+    axes, red points, (y, z, x) axis order, azim=-45 elev=-165 view."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    p = np.asarray(ptcloud)
+    fig = plt.figure()
+    ax = fig.add_subplot(111, projection="3d")
+    ax.set_xlim(-scale, scale)
+    ax.set_ylim(-scale, scale)
+    ax.set_zlim(-scale, scale)
+    ax.scatter(p[:, 1], p[:, 2], p[:, 0], c=color, s=5, depthshade=True)
+    ax.axis("off")
+    ax.view_init(azim=azim, elev=elev)
+    fig.savefig(path)
+    plt.close(fig)
+
+
 def render_clouds(clouds: Dict[str, np.ndarray], path: Optional[str] = None,
                   image: Optional[np.ndarray] = None) -> np.ndarray:
     """Side-by-side comparison render (GT vs multi-resolution predictions),

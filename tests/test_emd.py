@@ -98,3 +98,92 @@ def test_early_exit_iters_insensitive_after_convergence():
     d2, a2 = earth_mover_distance(jnp.asarray(x1), jnp.asarray(x2), 0.05, 800)
     # Hitting full assignment stops the loop; more iters change nothing.
     np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+
+
+def test_pallas_streaming_matches_ref_n2048():
+    """N=2048 exceeds _MAX_N_IN_VMEM: the kernel takes the streaming branch
+    (store_value=False, value chunks recomputed per iteration) — previously
+    untested. Interpret mode vs the XLA reference auction."""
+    from fenet.ops.emd import _MAX_N_IN_VMEM
+
+    n = 2048
+    assert n > _MAX_N_IN_VMEM
+    x1, x2 = _make_clouds(1, n, seed=6)
+    d_ref, a_ref = earth_mover_distance_ref(
+        jnp.asarray(x1), jnp.asarray(x2), 0.1, 20
+    )
+    d_pal, a_pal = _emd_pallas(
+        jnp.asarray(x1), jnp.asarray(x2), 0.1, 20, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(a_pal), np.asarray(a_ref))
+    np.testing.assert_allclose(
+        np.asarray(d_pal), np.asarray(d_ref), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_pallas_scale_phases_matches_ref():
+    """Epsilon-scaling (scale_phases=3): phases at eps*25, eps*5, eps with
+    carried prices — kernel vs XLA reference, previously untested."""
+    x1, x2 = _make_clouds(1, 256, seed=7)
+    d_ref, a_ref = earth_mover_distance_ref(
+        jnp.asarray(x1), jnp.asarray(x2), 0.02, 80, scale_phases=3
+    )
+    d_pal, a_pal = _emd_pallas(
+        jnp.asarray(x1), jnp.asarray(x2), 0.02, 80, scale_phases=3,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(a_pal), np.asarray(a_ref))
+    np.testing.assert_allclose(
+        np.asarray(d_pal), np.asarray(d_ref), rtol=1e-5, atol=1e-6
+    )
+    # scaling must not hurt final quality vs the fixed-eps auction run to
+    # convergence at the same final eps
+    d_fix, _ = earth_mover_distance_ref(
+        jnp.asarray(x1), jnp.asarray(x2), 0.02, 3000
+    )
+    assert float(jnp.sqrt(d_pal).mean()) <= 1.05 * float(
+        jnp.sqrt(d_fix).mean()
+    )
+
+
+def test_no_early_exit_matches_early_exit_result():
+    """early_exit=False (the reference driver's run-all-iters structure,
+    emd_cuda.cu:256) must land on the same assignment: post-convergence
+    iterations are no-ops."""
+    x1, x2 = _make_clouds(2, 256, seed=8)
+    d1, a1 = earth_mover_distance(jnp.asarray(x1), jnp.asarray(x2), 0.05, 300)
+    d2, a2 = earth_mover_distance(
+        jnp.asarray(x1), jnp.asarray(x2), 0.05, 300, 1, False
+    )
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-7)
+    # pallas kernel path too (interpret)
+    d3, a3 = _emd_pallas(
+        jnp.asarray(x1), jnp.asarray(x2), 0.05, 300, 1, False, True
+    )
+    np.testing.assert_array_equal(np.asarray(a3), np.asarray(a1))
+
+
+def test_fallback_shapes_warn_once(caplog):
+    """On a TPU backend, shapes the Pallas kernel declines (n % 256 != 0)
+    fall back to the XLA reference and log once per shape."""
+    import logging
+
+    from fenet.ops import emd as emd_mod
+
+    orig = jax.default_backend
+    emd_mod._warned_fallback.clear()
+    jax.default_backend = lambda: "tpu"
+    try:
+        with caplog.at_level(logging.WARNING, logger="fenet.ops.emd"):
+            x1, x2 = _make_clouds(1, 250, seed=9)
+            emd_mod.earth_mover_distance(
+                jnp.asarray(x1), jnp.asarray(x2), 0.05, 20
+            )
+            emd_mod.earth_mover_distance(
+                jnp.asarray(x1), jnp.asarray(x2), 0.05, 20
+            )
+    finally:
+        jax.default_backend = orig
+    msgs = [r for r in caplog.records if "Pallas kernel declined" in r.message]
+    assert len(msgs) == 1  # once per shape
