@@ -79,7 +79,9 @@ def make_eval_step(
         n_args=3,
         out_specs={"emd": P("batch"), "cd": P("batch"), "pred": P("batch")},
     )
-    step = jax.jit(sharded)
+    from fenet.parallel.mesh import collective_compiler_options
+
+    step = jax.jit(sharded, compiler_options=collective_compiler_options(mesh))
     if key is not None:
         _EVAL_STEP_CACHE[key] = step
     return step, mesh

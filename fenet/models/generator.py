@@ -95,9 +95,18 @@ class CascadedDecoder(nn.Module):
     128 coarse points; 2x per-point offsets -> 256; (num_points/256)x offsets
     -> num_points. Conv1d(k=1) layers become Dense over the channel axis of
     (B, L, C) tensors (identical math, MXU-friendly layout).
+
+    ``fine_width`` / ``mid_width`` scale the per-point channel widths of the
+    fine and mid heads.  The reference hardcodes 512/128 (…_cmlp.py:247-254);
+    the defaults reproduce that exactly, smaller values give a
+    structure-identical model for width studies and for cheap multi-device
+    dry runs (the default fine head is a 134M-param Dense — the bulk of the
+    whole generator).
     """
 
     num_points: int = 1024
+    fine_width: int = 512
+    mid_width: int = 128
 
     @nn.compact
     def __call__(self, feat: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
@@ -111,19 +120,21 @@ class CascadedDecoder(nn.Module):
         # Coarse head: 128 points.
         pc1 = nn.Dense(128 * 3, name="fc3_1")(x3).reshape(b, 128, 3)
 
-        # Mid head: (B, 16384) -> torch-order (C=128, L=128) -> (B, L, C).
-        pc2_feat = nn.relu(nn.Dense(128 * 128, name="fc2_1")(x2))
-        pc2_feat = pc2_feat.reshape(b, 128, 128).transpose(0, 2, 1)
+        # Mid head: (B, 128*mw) -> torch-order (C=mw, L=128) -> (B, L, C).
+        mw = self.mid_width
+        pc2_feat = nn.relu(nn.Dense(128 * mw, name="fc2_1")(x2))
+        pc2_feat = pc2_feat.reshape(b, mw, 128).transpose(0, 2, 1)
         pc2_off = nn.Dense(6, name="conv2_1")(pc2_feat)  # (B, 128, 6)
         pc2 = (pc1[:, :, None, :] + pc2_off.reshape(b, 128, 2, 3)).reshape(
             b, 256, 3
         )
 
-        # Fine head: (B, 131072) -> (C=512, L=256) -> (B, 256, 512).
+        # Fine head: (B, 256*fw) -> (C=fw, L=256) -> (B, 256, fw).
         k = self.num_points // 256
-        pc3_feat = nn.relu(nn.Dense(256 * 512, name="fc1_1")(x1))
-        pc3_feat = pc3_feat.reshape(b, 512, 256).transpose(0, 2, 1)
-        pc3_feat = nn.relu(nn.Dense(512, name="conv1_1")(pc3_feat))
+        fw = self.fine_width
+        pc3_feat = nn.relu(nn.Dense(256 * fw, name="fc1_1")(x1))
+        pc3_feat = pc3_feat.reshape(b, fw, 256).transpose(0, 2, 1)
+        pc3_feat = nn.relu(nn.Dense(fw, name="conv1_1")(pc3_feat))
         pc3_feat = nn.relu(nn.Dense(256, name="conv1_2")(pc3_feat))
         pc3_off = nn.Dense(3 * k, name="conv1_3")(pc3_feat)  # (B, 256, 3k)
         pc3 = (pc2[:, :, None, :] + pc3_off.reshape(b, 256, k, 3)).reshape(
@@ -143,6 +154,8 @@ class Generator(nn.Module):
     num_points: int = 1024
     backbone: str = "RepVGG-A2"
     deploy: bool = False
+    fine_width: int = 512
+    mid_width: int = 128
 
     def setup(self):
         self.edge = EdgeBranch(deploy=self.deploy, name="edge")
@@ -151,7 +164,10 @@ class Generator(nn.Module):
             deploy=self.deploy,
             name="RepVGG",
         )
-        self.decoder = CascadedDecoder(self.num_points, name="decoder")
+        self.decoder = CascadedDecoder(
+            self.num_points, fine_width=self.fine_width,
+            mid_width=self.mid_width, name="decoder",
+        )
 
     def decode(self, feature_map: jnp.ndarray, x: jnp.ndarray,
                train: bool = False):

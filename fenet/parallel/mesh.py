@@ -49,15 +49,50 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
 
 def shard_map_batch(fn, mesh: Mesh, in_batch_args, n_args, out_specs):
     """shard_map ``fn`` with the given arg positions batch-sharded, the rest
-    replicated. ``out_specs`` follow shard_map conventions."""
+    replicated. ``out_specs`` follow shard_map conventions.
+
+    On a 1-D mesh the body is fully manual (each device sees its batch
+    shard).  On a 2-D (batch, model) tensor-parallel mesh only ``batch`` is
+    manual; the ``model`` axis stays *auto* so GSPMD partitions the
+    Megatron-annotated matmuls and places their all-reduces itself
+    (fenet.parallel.tp)."""
     in_specs = tuple(
         P(BATCH_AXIS) if i in in_batch_args else P() for i in range(n_args)
     )
+    kwargs = {}
+    if len(mesh.axis_names) > 1:
+        kwargs["axis_names"] = {BATCH_AXIS}
     return _shard_map_fn(
         fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-        check_vma=False,
+        check_vma=False, **kwargs,
     )
 
 
 def pmean(tree: Any, axis: str = BATCH_AXIS) -> Any:
     return jax.tree_util.tree_map(lambda x: jax.lax.pmean(x, axis), tree)
+
+
+def collective_compiler_options(mesh: Optional[Mesh] = None):
+    """XLA compiler options for jitted programs containing collectives.
+
+    On the CPU backend (the virtual multi-chip mesh used by tests and the
+    driver's ``dryrun_multichip``), XLA's in-process collective rendezvous
+    terminates the whole process when the gap between the first and last
+    participant exceeds 40s. With more virtual devices than host cores the
+    per-partition compute serializes onto the real cores, so that gap is
+    roughly (n_devices - 1) x per-shard step time — trivially exceeded on a
+    small host even though the program is making progress. Raise the
+    watchdog timeouts so virtual-mesh runs are bounded by actual compute,
+    not by a wall-clock heuristic sized for real multi-core hosts.
+
+    Returns ``None`` on TPU (ICI collectives have their own transport-level
+    timeouts; these flags are CPU-runtime-only).
+    """
+    devices = mesh.devices.flatten() if mesh is not None else jax.devices()
+    if devices[0].platform != "cpu" or len(devices) < 2:
+        return None
+    return {
+        "xla_cpu_collective_call_warn_stuck_seconds": "600",
+        "xla_cpu_collective_call_terminate_timeout_seconds": "3000",
+        "xla_cpu_collective_timeout_seconds": "3000",
+    }

@@ -64,3 +64,7 @@ class TrainConfig:
 
     # parallelism
     data_parallel: int = 1  # devices in the batch mesh axis
+    # >1 adds a 'model' mesh axis with Megatron column/row sharding of the
+    # decoder's giant fine/mid-head Dense pairs (fenet.parallel.tp); the
+    # mesh becomes (data_parallel, model_parallel).
+    model_parallel: int = 1

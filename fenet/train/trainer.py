@@ -34,7 +34,9 @@ from jax.sharding import PartitionSpec as P
 from fenet.losses.facade import chamfer_loss, emd_loss
 from fenet.parallel.mesh import (
     BATCH_AXIS,
+    collective_compiler_options,
     make_mesh,
+    replicate,
     shard_batch,
     shard_map_batch,
 )
@@ -106,7 +108,15 @@ class Trainer:
         self.model = model
         self.config = config
         self.loss_mode = loss_mode
-        self.mesh = mesh if mesh is not None else make_mesh(config.data_parallel)
+        if mesh is not None:
+            self.mesh = mesh
+        elif config.model_parallel > 1:
+            from fenet.parallel.tp import make_dp_tp_mesh
+
+            self.mesh = make_dp_tp_mesh(config.data_parallel,
+                                        config.model_parallel)
+        else:
+            self.mesh = make_mesh(config.data_parallel)
         self.tx = make_optimizer(config.weight_decay)
         try:
             key = (model, self.mesh) + _trace_key(config, loss_mode)
@@ -123,22 +133,26 @@ class Trainer:
 
     def init_state(self, rng, sample_images) -> TrainState:
         variables = self.model.init(rng, sample_images, train=False)
-        params = variables["params"]
-        batch_stats = variables.get("batch_stats", {})
-        return TrainState(
-            params=params,
-            batch_stats=batch_stats,
-            opt_state=self.tx.init(params),
-            step=jnp.zeros((), jnp.int32),
-        )
+        return self.state_from_variables(variables)
 
     def state_from_variables(self, variables) -> TrainState:
-        return TrainState(
+        state = TrainState(
             params=variables["params"],
             batch_stats=variables.get("batch_stats", {}),
             opt_state=self.tx.init(variables["params"]),
             step=jnp.zeros((), jnp.int32),
         )
+        # Commit the state to the mesh NOW: the jitted step returns
+        # mesh-committed outputs, so an uncommitted initial state would make
+        # call #2 retrace (new input shardings) — a full second compile of
+        # an identical program.  On a tensor-parallel mesh the Megatron
+        # leaves (params AND their Adam mu/nu mirrors) go in model-sharded;
+        # everything else is replicated.
+        from fenet.parallel.tp import is_tp_mesh, shard_tree
+
+        if is_tp_mesh(self.mesh):
+            return shard_tree(state, self.mesh)
+        return jax.device_put(state, replicate(self.mesh))
 
     # -- the hot step ----------------------------------------------------------
 
@@ -215,7 +229,9 @@ class Trainer:
         )
         # No buffer donation: states stay reusable (eval/checkpoint mid-epoch);
         # at this model scale (~25M params) the copy cost is negligible.
-        return jax.jit(sharded)
+        return jax.jit(
+            sharded, compiler_options=collective_compiler_options(self.mesh)
+        )
 
     def train_step(
         self, state: TrainState, images, points, epoch: int, lr: float
