@@ -164,6 +164,7 @@ def _emd_kernel(
     winner_inc_ref,  # (1, N) scratch f32
     winner_row_ref,  # (1, N) scratch i32
     com_col_ref,  # (1, N) scratch i32 (0/1)
+    cnt_ref,  # (n_chunks,) SMEM scratch i32: unassigned rows per chunk
     *,
     n: int,
     eps: float,
@@ -205,75 +206,101 @@ def _emd_kernel(
         it, _ = state
         last = jnp.logical_and(force_last, it == iters - 1)
 
-        # Phase 1: per-row best / second-best bid over the fixed price.
-        def phase1(c, _):
-            sl = pl.ds(c * _CHUNK, _CHUNK)
-            vc = value_ref[sl, :] if store_value else value_chunk(sl)
-            bids = vc - price_ref[0:1, :]  # (CHUNK, N)
-            best = jnp.max(bids, axis=1, keepdims=True)
-            bc = jnp.argmax(bids, axis=1, keepdims=True).astype(jnp.int32)
-            better = jnp.max(
-                jnp.where(chunk_cols == bc, _NEG, bids), axis=1, keepdims=True
-            )
-            best_col_ref[sl, :] = bc
-            inc_ref[sl, :] = best - better + eps_p
-            return 0
-
-        jax.lax.fori_loop(0, n_chunks, phase1, 0)
-
-        # Phase 2: per-column winner among unassigned bidders (running
-        # max/argmax across row chunks; strict '>' keeps the first maximum,
-        # matching argmax-over-the-full-axis semantics).
+        # Phases 1+2 fused: per-row best/second-best bids AND the per-column
+        # winner among unassigned bidders, in ONE pass over the row chunks.
+        # Winner resolution is a running max/argmax across chunks (strict
+        # '>' keeps the first maximum, matching argmax-over-the-full-axis
+        # semantics), and for chunk c it only needs chunk c's best_col/inc —
+        # which are live in registers right after they're computed, so the
+        # separate second pass (re-reading best_col/inc, rebuilding onehot)
+        # is pure VMEM traffic saved.
+        #
+        # Chunks with zero unassigned rows (per-chunk counts maintained in
+        # SMEM by phase 3) are skipped outright: the auction's long tail is
+        # a price war among a handful of bidders, so after the first ~N/eps
+        # wave most iterations touch one chunk, not n_chunks.
         winner_inc_ref[:, :] = jnp.full((1, n), _NEG, jnp.float32)
         winner_row_ref[:, :] = jnp.zeros((1, n), jnp.int32)
         com_col_ref[:, :] = jnp.zeros((1, n), jnp.int32)
 
-        def phase2(c, _):
-            sl = pl.ds(c * _CHUNK, _CHUNK)
-            unass = ass_ref[sl, :] < 0  # (CHUNK, 1)
-            onehot = (chunk_cols == best_col_ref[sl, :]) & unass
-            w = jnp.where(onehot, inc_ref[sl, :], _NEG)  # (CHUNK, N)
-            cmax = jnp.max(w, axis=0, keepdims=True)  # (1, N)
-            carg = (
-                jnp.argmax(w, axis=0, keepdims=True).astype(jnp.int32)
-                + c * _CHUNK
-            )
-            upd = cmax > winner_inc_ref[0:1, :]
-            winner_row_ref[:, :] = jnp.where(upd, carg, winner_row_ref[0:1, :])
-            winner_inc_ref[:, :] = jnp.where(upd, cmax, winner_inc_ref[0:1, :])
-            com_col_ref[:, :] = jnp.maximum(
-                com_col_ref[0:1, :],
-                jnp.max(onehot.astype(jnp.int32), axis=0, keepdims=True),
-            )
+        def phase12(c, _):
+            @pl.when(cnt_ref[c] > 0)
+            def _():
+                sl = pl.ds(c * _CHUNK, _CHUNK)
+                vc = value_ref[sl, :] if store_value else value_chunk(sl)
+                bids = vc - price_ref[0:1, :]  # (CHUNK, N)
+                best = jnp.max(bids, axis=1, keepdims=True)
+                bc = jnp.argmax(bids, axis=1, keepdims=True).astype(jnp.int32)
+                better = jnp.max(
+                    jnp.where(chunk_cols == bc, _NEG, bids), axis=1,
+                    keepdims=True,
+                )
+                inc = best - better + eps_p
+                best_col_ref[sl, :] = bc  # phase 3 still reads these
+                inc_ref[sl, :] = inc
+
+                unass = ass_ref[sl, :] < 0  # (CHUNK, 1)
+                onehot = (chunk_cols == bc) & unass
+                w = jnp.where(onehot, inc, _NEG)  # (CHUNK, N)
+                cmax = jnp.max(w, axis=0, keepdims=True)  # (1, N)
+                carg = (
+                    jnp.argmax(w, axis=0, keepdims=True).astype(jnp.int32)
+                    + c * _CHUNK
+                )
+                upd = cmax > winner_inc_ref[0:1, :]
+                winner_row_ref[:, :] = jnp.where(
+                    upd, carg, winner_row_ref[0:1, :]
+                )
+                winner_inc_ref[:, :] = jnp.where(
+                    upd, cmax, winner_inc_ref[0:1, :]
+                )
+                com_col_ref[:, :] = jnp.maximum(
+                    com_col_ref[0:1, :],
+                    jnp.max(onehot.astype(jnp.int32), axis=0, keepdims=True),
+                )
             return 0
 
-        jax.lax.fori_loop(0, n_chunks, phase2, 0)
+        jax.lax.fori_loop(0, n_chunks, phase12, 0)
 
         # Phase 3: commit winners, evict previous owners of won columns.
+        # Commit only matters in chunks that had unassigned bidders; for
+        # fully-assigned chunks only the (cheaper) eviction test runs.
         def phase3(c, n_unass):
             sl = pl.ds(c * _CHUNK, _CHUNK)
             ass = ass_ref[sl, :]  # (CHUNK, 1)
-            bc = best_col_ref[sl, :]
-            unass = ass < 0
-            onehot_f = ((chunk_cols == bc) & unass).astype(jnp.float32)
-            wr_at_best = jnp.sum(
-                onehot_f * winner_row_ref[0:1, :].astype(jnp.float32),
-                axis=1,
-                keepdims=True,
-            )  # (CHUNK, 1): winner_row gathered at each row's bid column
-            rows_global = chunk_rows_local + c * _CHUNK
-            won = wr_at_best == rows_global.astype(jnp.float32)
-            # == unass if last else unass & won (Mosaic can't select i1 vecs).
-            commit = unass & jnp.logical_or(won, last)
             owns = (chunk_cols == ass).astype(jnp.float32)  # -1 never matches
             col_won = (
                 jnp.sum(owns * com_col_ref[0:1, :].astype(jnp.float32),
                         axis=1, keepdims=True) > 0
             )
             evicted = jnp.logical_and(jnp.logical_not(last), col_won)
-            new_ass = jnp.where(commit, bc, jnp.where(evicted, -1, ass))
-            ass_ref[sl, :] = new_ass
-            return n_unass + jnp.sum((new_ass < 0).astype(jnp.int32))
+
+            @pl.when(cnt_ref[c] > 0)
+            def _():
+                bc = best_col_ref[sl, :]
+                unass = ass < 0
+                onehot_f = ((chunk_cols == bc) & unass).astype(jnp.float32)
+                wr_at_best = jnp.sum(
+                    onehot_f * winner_row_ref[0:1, :].astype(jnp.float32),
+                    axis=1,
+                    keepdims=True,
+                )  # (CHUNK, 1): winner_row gathered at each row's bid column
+                rows_global = chunk_rows_local + c * _CHUNK
+                won = wr_at_best == rows_global.astype(jnp.float32)
+                # == unass if last else unass & won (Mosaic can't select
+                # i1 vecs).
+                commit = unass & jnp.logical_or(won, last)
+                ass_ref[sl, :] = jnp.where(
+                    commit, bc, jnp.where(evicted, -1, ass)
+                )
+
+            @pl.when(cnt_ref[c] == 0)
+            def _():
+                ass_ref[sl, :] = jnp.where(evicted, -1, ass)
+
+            chunk_unass = jnp.sum((ass_ref[sl, :] < 0).astype(jnp.int32))
+            cnt_ref[c] = chunk_unass
+            return n_unass + chunk_unass
 
         n_unass = jax.lax.fori_loop(0, n_chunks, phase3, jnp.int32(0))
 
@@ -291,6 +318,8 @@ def _emd_kernel(
     for p in range(scale_phases):
         eps_p = eps * (scale_factor ** (scale_phases - 1 - p))
         ass_ref[:, :] = jnp.full((n, 1), -1, jnp.int32)
+        for c in range(n_chunks):
+            cnt_ref[c] = _CHUNK
         if early_exit:
             loop_cond = lambda s: jnp.logical_and(s[0] < iters, s[1] > 0)
         else:  # reference structure: the CUDA driver always runs all iters
@@ -357,6 +386,7 @@ def _emd_pallas(xyz1, xyz2, eps: float, iters: int, scale_phases: int = 1,
             pltpu.VMEM((1, n), jnp.float32),
             pltpu.VMEM((1, n), jnp.int32),
             pltpu.VMEM((1, n), jnp.int32),
+            pltpu.SMEM((n // _CHUNK,), jnp.int32),
         ],
         interpret=interpret,
     )(x1, x2)

@@ -22,3 +22,16 @@ import jax  # noqa: E402
 # var alone is too late — update the already-captured config flag as well.
 jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 jax.config.update("jax_enable_x64", False)
+
+# Persistent CPU-scoped compile cache: the suite's wall time is dominated by
+# XLA CPU compiles of the big fused train/eval steps (minutes each on a
+# 1-core sandbox), which are identical run to run.  Scoped to a 'cpu'
+# subdirectory — TPU AOT entries in the same dir caused a libtpu version-
+# mismatch crash in round 1.  Caveat learned the hard way: cache-loaded
+# executables still pay cold collective-infra setup on their FIRST
+# collective execution; the suite tolerates this because its first sharded
+# steps run on 2-device meshes (spread stays under XLA's hard-coded 40s
+# in-process rendezvous watchdog).
+from fenet.utils.compilation_cache import enable  # noqa: E402
+
+enable(platform="cpu")
