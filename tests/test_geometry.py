@@ -141,6 +141,29 @@ def test_icp_aligns_rotated_cloud():
     assert after < 0.2 * before, (before, after)
 
 
+def test_icp_stall_patience_is_lossless():
+    """Stopping after `stall_patience` non-improving iterations must return
+    the same transform as the full budget: best-so-far tracking means extra
+    wandering iterations can't improve the returned state (they only matter
+    if a later iteration finds a new best — which on a well-posed problem
+    happens within the first few dozen)."""
+    rng = np.random.RandomState(3)
+    gt = rng.rand(4, 256, 3).astype(np.float32) * 0.9
+    theta = 0.25
+    r = np.array([[np.cos(theta), -np.sin(theta), 0],
+                  [np.sin(theta), np.cos(theta), 0], [0, 0, 1]], np.float32)
+    pred = gt @ r.T + 0.08 + rng.randn(4, 256, 3).astype(np.float32) * 0.003
+    t_full = np.asarray(
+        batched_icp(jnp.asarray(gt), jnp.asarray(pred), max_iterations=512,
+                    stall_patience=0)
+    )
+    t_pat = np.asarray(
+        batched_icp(jnp.asarray(gt), jnp.asarray(pred), max_iterations=512,
+                    stall_patience=32)
+    )
+    np.testing.assert_allclose(t_pat, t_full, atol=1e-5)
+
+
 def test_grid_dist_matches_scipy():
     ours = grid_dist(8, 8)
     x, y = np.meshgrid(range(8), range(8), indexing="ij")
