@@ -36,6 +36,9 @@ def _build_model_and_state(seed: int = 0):
 
 
 def _synthetic_eval_batches(n_cats=13, samples_per_cat=48, batch=48, seed=0):
+    # Images ship as raw uint8 pixels (the production wire format — see
+    # data/shapenet.py image_dtype): on this platform host->device bandwidth
+    # is the eval bottleneck, and pixels are integer-valued 0..255 anyway.
     rng = np.random.RandomState(seed)
     batches = []
     for _ in range(n_cats):
@@ -43,7 +46,7 @@ def _synthetic_eval_batches(n_cats=13, samples_per_cat=48, batch=48, seed=0):
             b = min(batch, samples_per_cat - start)
             batches.append(
                 (
-                    rng.rand(b, 128, 128, 3).astype(np.float32) * 255,
+                    (rng.rand(b, 128, 128, 3) * 255).astype(np.uint8),
                     (rng.rand(b, 1024, 3).astype(np.float32)) * 0.9,
                 )
             )
@@ -193,7 +196,7 @@ def run_reference_structured(model, variables, batches, n_samples=48):
         return pc3
 
     # compile (forced fetch, with transient-compile retry)
-    img0 = batches[0][0][:1]
+    img0 = batches[0][0][:1].astype(np.float32)
     _retry(lambda: np.asarray(fwd(variables, img0)))
     _retry(
         lambda: np.asarray(
@@ -207,6 +210,7 @@ def run_reference_structured(model, variables, batches, n_samples=48):
     flat = flat[:n_samples]
     t0 = time.time()
     for img, pts in flat:
+        img = img.astype(np.float32)  # reference ships float32 tensors
         pred = np.asarray(fwd(variables, img[None]))[0]  # device -> host
         t = _host_icp(pts, pred)
         aligned = (pred @ t[:3, :3] - t[:3, 3])[None]

@@ -56,6 +56,7 @@ def main(argv=None):
         ds = ShapeNetDataset(
             opt.data_dir_imgs, opt.data_dir_pcl, val_models, [cat],
             opt.num_points, multi_resolution=False, check_exists=True,
+            image_dtype="uint8",
         )
         loader = DataLoader(ds, opt.batchSize, drop_last=False)
         cd_m, emd_m, summary = evaluate_dataset(

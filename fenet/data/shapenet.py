@@ -76,13 +76,24 @@ class ShapeNetDataset:
         multi_resolution: bool = False,
         check_exists: bool = False,
         transform=None,
+        image_dtype: str = "float32",
     ):
+        """``image_dtype='uint8'`` returns images as raw uint8 pixels instead
+        of float32 — numerically identical (the reference convention is raw
+        0..255 integer values, no normalization) but 4x cheaper to move
+        host->HBM; the jitted train/eval steps cast on device.  Requires
+        ``transform=None`` (augmentations produce non-integer floats)."""
+        if image_dtype not in ("float32", "uint8"):
+            raise ValueError(f"image_dtype must be float32|uint8, got {image_dtype}")
+        if image_dtype == "uint8" and transform is not None:
+            raise ValueError("image_dtype='uint8' requires transform=None")
         self.data_dir_imgs = data_dir_imgs
         self.data_dir_pcl = data_dir_pcl
         self.num_points = num_points
         self.variety = variety
         self.multi_resolution = multi_resolution
         self.transform = transform
+        self.image_dtype = np.dtype(image_dtype)
         self.modelnames: List[str] = []
         for cat in cats:
             for filename in models[cat]:
@@ -107,7 +118,7 @@ class ShapeNetDataset:
         image = _imread_rgb(path)[4:-5, 4:-5, :3]
         if self.transform is not None:
             image = self.transform(image)
-        return np.ascontiguousarray(image, np.float32)
+        return np.ascontiguousarray(image, self.image_dtype)
 
     def _load_pcl(self, model: str, n: int) -> np.ndarray:
         return np.load(
@@ -145,8 +156,11 @@ class ShapeNetDataset:
                 )
             )
         try:
+            images = native.load_images(img_paths)
+            if self.image_dtype == np.uint8:
+                images = images.astype(np.uint8)  # exact: raw 0..255 ints
             out = {
-                "image": native.load_images(img_paths),
+                "image": images,
                 "points": native.load_clouds(pcl_paths, self.num_points),
             }
         except (IOError, RuntimeError):

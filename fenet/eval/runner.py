@@ -56,6 +56,9 @@ def make_eval_step(
         return cached, mesh
 
     def local_step(variables, images, points):
+        # On-device upcast so the pipeline can ship raw uint8 pixels (4x
+        # less host->HBM traffic; see data/shapenet.py image_dtype).
+        images = images.astype(jnp.float32)
         _, _, pred = model.apply(variables, images, train=False)
         if align:
             aligned = align_pred_to_gt(

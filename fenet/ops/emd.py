@@ -223,7 +223,7 @@ def _emd_kernel(
         winner_row_ref[:, :] = jnp.zeros((1, n), jnp.int32)
         com_col_ref[:, :] = jnp.zeros((1, n), jnp.int32)
 
-        def phase12(c, _):
+        def phase12(c):
             @pl.when(cnt_ref[c] > 0)
             def _():
                 sl = pl.ds(c * _CHUNK, _CHUNK)
@@ -258,14 +258,17 @@ def _emd_kernel(
                     com_col_ref[0:1, :],
                     jnp.max(onehot.astype(jnp.int32), axis=0, keepdims=True),
                 )
-            return 0
 
-        jax.lax.fori_loop(0, n_chunks, phase12, 0)
+        # Chunk loops are unrolled (n_chunks is static and small): a
+        # fori_loop body is a sequential grind per trip, while unrolling
+        # lets Mosaic software-pipeline the independent chunk passes.
+        for c in range(n_chunks):
+            phase12(c)
 
         # Phase 3: commit winners, evict previous owners of won columns.
         # Commit only matters in chunks that had unassigned bidders; for
         # fully-assigned chunks only the (cheaper) eviction test runs.
-        def phase3(c, n_unass):
+        def phase3(c):
             sl = pl.ds(c * _CHUNK, _CHUNK)
             ass = ass_ref[sl, :]  # (CHUNK, 1)
             owns = (chunk_cols == ass).astype(jnp.float32)  # -1 never matches
@@ -300,9 +303,11 @@ def _emd_kernel(
 
             chunk_unass = jnp.sum((ass_ref[sl, :] < 0).astype(jnp.int32))
             cnt_ref[c] = chunk_unass
-            return n_unass + chunk_unass
+            return chunk_unass
 
-        n_unass = jax.lax.fori_loop(0, n_chunks, phase3, jnp.int32(0))
+        n_unass = jnp.int32(0)
+        for c in range(n_chunks):
+            n_unass = n_unass + phase3(c)
 
         # Price rise on won columns (skipped on the forced final iteration,
         # where prices are dead anyway — emd_cuda.cu:196-215).

@@ -60,11 +60,11 @@ def _build_datasets(cfg: TrainConfig, category):
     cats = [category] if isinstance(category, str) else list(category)
     train_ds = ShapeNetDataset(
         cfg.data_dir_imgs, cfg.data_dir_pcl, train_models, cats,
-        cfg.num_points, variety=True,
+        cfg.num_points, variety=True, image_dtype="uint8",
     )
     val_ds = ShapeNetDataset(
         cfg.data_dir_imgs, cfg.data_dir_pcl, val_models, cats,
-        cfg.num_points,
+        cfg.num_points, image_dtype="uint8",
     )
     return train_ds, val_ds
 

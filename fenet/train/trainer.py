@@ -163,6 +163,10 @@ class Trainer:
 
         def local_step(state: TrainState, images, points, epoch, lr):
             """Per-device shard step; grads/stats pmean'd over the mesh."""
+            # Free on-device upcast: lets the input pipeline ship raw uint8
+            # pixels (4x less host->HBM traffic, data/shapenet.py
+            # image_dtype) — value-identical, the convention is raw 0..255.
+            images = images.astype(jnp.float32)
 
             def loss_fn(params):
                 (_, _, pc3), mut = model.apply(

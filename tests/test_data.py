@@ -43,6 +43,31 @@ def test_shapenet_dataset_layout_and_crop(synthetic_root):
     assert "xangle" in s and "yangle" in s
 
 
+def test_shapenet_uint8_wire_format_is_value_identical(synthetic_root):
+    """image_dtype='uint8' (the production wire format, 4x less host->HBM
+    traffic) must carry exactly the same pixel values as float32 — the
+    convention is raw integer 0..255, so the cast is lossless."""
+    splits = load_split(synthetic_root + "/splits", "train_models.json")
+    kw = dict(models=splits, cats=["02691156"])
+    ds32 = ShapeNetDataset(
+        synthetic_root + "/ShapeNetRendering/",
+        synthetic_root + "/ShapeNet_pointclouds/", **kw,
+    )
+    ds8 = ShapeNetDataset(
+        synthetic_root + "/ShapeNetRendering/",
+        synthetic_root + "/ShapeNet_pointclouds/", image_dtype="uint8", **kw,
+    )
+    a, b = ds32[3]["image"], ds8[3]["image"]
+    assert b.dtype == np.uint8
+    np.testing.assert_array_equal(a, b.astype(np.float32))
+    with pytest.raises(ValueError):
+        ShapeNetDataset(
+            synthetic_root + "/ShapeNetRendering/",
+            synthetic_root + "/ShapeNet_pointclouds/",
+            image_dtype="uint8", transform=lambda x: x, **kw,
+        )
+
+
 def test_shapenet_multi_resolution(synthetic_root):
     splits = load_split(synthetic_root + "/splits", "val_models.json")
     ds = ShapeNetDataset(

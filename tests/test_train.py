@@ -149,21 +149,40 @@ def test_evaluate_dataset_batched(trained):
     assert cd_m.better_than(None)
 
 
-def test_train_step_full_8dev_mesh(trained):
+def test_train_step_full_8dev_mesh():
     """One step over all 8 fake devices: per-shard batch 1, pmean'd grads.
-    With lr=0 the loss must match the 2-device mesh's bit-for-bit-ish
-    (pmean over more shards of the same batch)."""
+    With lr=0 the losses must match a 2-device run of the same batch
+    (pmean over more shards of the same data).
+
+    Standalone tiny model (width-scaled decoder, 256 pts, 64x64) rather
+    than the trained fixture: the 8 partitions serialize on this 1-core
+    host, and at the fixture's default widths one step cost ~170s of suite
+    wall time; at fine_width=32 the identical code path runs in seconds."""
     assert jax.device_count() == 8, "conftest must fake 8 CPU devices"
-    _, state, _, (images, points), gen, _ = trained
-    cfg8 = _tiny_config(data_parallel=8)
-    trainer8 = Trainer(gen, cfg8)
-    s8 = trainer8.state_from_variables(
-        jax.device_get(  # strip the fixture's 2-device placement
-            {"params": state.params, "batch_stats": state.batch_stats}
+    rng = np.random.RandomState(0)
+    gen = Generator(num_points=256, backbone="RepVGG-TEST",
+                    fine_width=32, mid_width=16)
+    images = rng.rand(8, 64, 64, 3).astype(np.float32) * 255
+    points = rng.rand(8, 256, 3).astype(np.float32)
+
+    def one_step(dp):
+        cfg = _tiny_config(data_parallel=dp, emd_iters=2)
+        trainer = Trainer(gen, cfg)
+        st = trainer.init_state(
+            jax.random.PRNGKey(0), np.zeros((1, 64, 64, 3), np.float32)
         )
-    )
-    _, stats8 = trainer8.train_step(s8, images, points, epoch=1, lr=0.0)
-    assert np.isfinite(float(stats8["total_loss"]))
+        _, stats = trainer.train_step(st, images, points, epoch=1, lr=0.0)
+        return {k: float(v) for k, v in stats.items()}
+
+    s8 = one_step(8)
+    s2 = one_step(2)
+    # Not bit-equal by design: train-mode BatchNorm normalizes with the
+    # LOCAL shard's statistics (1 sample/shard at dp=8 vs 4 at dp=2 — the
+    # standard sync-free per-replica BN, as in torch DDP), which shifts the
+    # forward by O(1e-3) relative.  5% still catches a broken pmean or
+    # sharding (those are order-1 wrong).
+    for key in s2:
+        np.testing.assert_allclose(s8[key], s2[key], rtol=5e-2, err_msg=key)
 
 
 def test_finetune_loss_mode(trained):
