@@ -12,6 +12,8 @@ from fenet.train.driver import train_net
 
 def main(argv=None):
     parser = add_common_args(argparse.ArgumentParser())
+    parser.add_argument("--cats", nargs="*", default=None,
+                        help="category ids to finetune (default: bench set)")
     parser.add_argument("--grid_h", type=int, default=64)
     parser.add_argument("--grid_w", type=int, default=64)
     parser.add_argument("--SIGMA_SQ", type=float, default=2.0)
@@ -20,7 +22,7 @@ def main(argv=None):
     opt = parser.parse_args(argv)
     print(opt)
 
-    cats = [opt.category] if opt.category else DEFAULT_TRAIN_CATS
+    cats = opt.cats or ([opt.category] if opt.category else DEFAULT_TRAIN_CATS)
     for cat in cats:
         cfg = config_from_args(opt)
         cfg.category = cat
