@@ -41,6 +41,9 @@ def main(argv=None):
     parser.add_argument("--cats", nargs="*",
                         default=["sofa", "table", "chair"])
     parser.add_argument("--icp_iters", type=int, default=1024)
+    parser.add_argument("--icp_patience", type=int, default=32,
+                        help="stop an element after this many non-improving "
+                             "ICP iterations (0 = reference full budget)")
     parser.add_argument("--emd_iters", type=int, default=50)
     opt = parser.parse_args(argv)
     print(opt)
@@ -64,7 +67,8 @@ def main(argv=None):
         loader = DataLoader(ds, opt.batchSize, drop_last=False)
         _, _, summary = evaluate_dataset(
             gen, variables, loader, category=cat, logger=logger,
-            icp_iterations=opt.icp_iters, emd_iters=opt.emd_iters,
+            icp_iterations=opt.icp_iters, icp_patience=opt.icp_patience,
+            emd_iters=opt.emd_iters,
         )
         results[cat] = summary
         print(cat, json.dumps(summary))

@@ -34,6 +34,9 @@ def main(argv=None):
     parser.add_argument("--cats", nargs="*", default=ALL_CATS)
     parser.add_argument("--no_icp", action="store_true")
     parser.add_argument("--icp_iters", type=int, default=1024)
+    parser.add_argument("--icp_patience", type=int, default=32,
+                        help="stop an element after this many non-improving "
+                             "ICP iterations (0 = reference full budget)")
     parser.add_argument("--emd_iters", type=int, default=50)
     opt = parser.parse_args(argv)
     print(opt)
@@ -62,6 +65,7 @@ def main(argv=None):
         cd_m, emd_m, summary = evaluate_dataset(
             gen, variables, loader, category=cat, logger=logger,
             align=not opt.no_icp, icp_iterations=opt.icp_iters,
+            icp_patience=opt.icp_patience,
             emd_iters=opt.emd_iters,
         )
         results[cat] = summary
