@@ -162,7 +162,11 @@ def run_train_bench(mesh, batch=128, warmup=2, steps=3):
     points = rng.rand(batch, 1024, 3).astype(np.float32) * 0.9
 
     def timed_steps(early_exit, n_steps, n_warmup):
+        # The baseline (early_exit=False) also pins strict fixed-eps mode:
+        # the reference auction has no epsilon-scaling (emd_cuda.cu:256).
         cfg = TrainConfig(batch_size=batch, emd_early_exit=early_exit)
+        if not early_exit:
+            cfg.emd_scale_phases, cfg.emd_scale_thresh = 1, 0.0
         model = Generator(num_points=1024, backbone=cfg.backbone)
         trainer = Trainer(model, cfg, mesh=mesh)
         state = trainer.init_state(

@@ -37,8 +37,13 @@ def add_common_args(parser: argparse.ArgumentParser):
                         help="devices in the batch mesh axis")
     parser.add_argument("--emd_iters", type=int, default=3000)
     parser.add_argument("--emd_eps", type=float, default=0.05)
-    parser.add_argument("--emd_scale_phases", type=int, default=1,
-                        help=">1 enables epsilon-scaling auction phases")
+    parser.add_argument("--emd_scale_phases", type=int, default=3,
+                        help=">1 enables epsilon-scaling auction phases "
+                             "(1 = strict reference mode)")
+    parser.add_argument("--emd_scale_thresh", type=float, default=0.3,
+                        help=">0 gates the scaling phases on the NN-"
+                             "competition fraction (adaptive scaling; "
+                             "0.3 separates the regimes, 0 = always on)")
     parser.add_argument("--validate_epochs", type=int, nargs="*",
                         default=[10, 30, 50],
                         help="epochs at which to validate + checkpoint "
@@ -70,6 +75,7 @@ def config_from_args(opt) -> TrainConfig:
         emd_eps=opt.emd_eps,
         emd_iters=opt.emd_iters,
         emd_scale_phases=opt.emd_scale_phases,
+        emd_scale_thresh=opt.emd_scale_thresh,
         validate_epochs=tuple(opt.validate_epochs),
     )
 

@@ -34,10 +34,11 @@ def emd_loss(
     iters: int = TRAIN_EMD_ITERS,
     scale_phases: int = 1,
     early_exit: bool = True,
+    scale_thresh: float = 0.0,
 ) -> jnp.ndarray:
     """sqrt of matched squared distances, averaged (loss.py:18-28)."""
     dist, _ = earth_mover_distance(
-        pred, gt, eps, iters, scale_phases, early_exit
+        pred, gt, eps, iters, scale_phases, early_exit, scale_thresh
     )
     return jnp.sqrt(dist).mean(axis=1).mean()
 

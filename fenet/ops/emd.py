@@ -63,7 +63,7 @@ _MAX_N_STREAMING = 8192
 
 def _auction_element(x1: jnp.ndarray, x2: jnp.ndarray, eps: float, iters: int,
                      scale_phases: int = 1, scale_factor: float = 5.0,
-                     early_exit: bool = True):
+                     early_exit: bool = True, scale_thresh: float = 0.0):
     """Dense masked auction for a single (N, 3) pair.
 
     ``scale_phases > 1`` enables classic epsilon-scaling: run the auction at
@@ -72,18 +72,41 @@ def _auction_element(x1: jnp.ndarray, x2: jnp.ndarray, eps: float, iters: int,
     result keeps the same eps-optimality guarantee as the fixed-eps auction
     (the reference's mode, scale_phases=1) but converges in far fewer total
     iterations when clouds are far apart.
+
+    ``scale_thresh > 0`` makes the scaling *adaptive*: the high-eps phases
+    run only when the fraction of gt columns that are some pred point's
+    nearest neighbor falls below the threshold. That fraction measures
+    *competition* — the actual driver of auction cost. A clustered early-
+    training prediction fighting over a few nearby targets scores ~0.005
+    (price wars; scaling measured 1.6x faster at B=128/N=1024/train
+    settings); independent overlapping clouds score ~0.6 and near-converged
+    clouds ~0.97 (scaling measured 2-17x SLOWER there). Mean NN *distance*
+    does not separate these regimes (0.06 vs 0.05 vs 0.016 measured) —
+    competition does. When phases are skipped the result is exactly the
+    fixed-eps auction's (prices start at 0, assignments empty).
     """
     n = x1.shape[0]
     value = 3.0 - jnp.sqrt(pairwise_sqdist(x1[None], x2[None])[0])  # (N, N)
     rows = jnp.arange(n, dtype=jnp.int32)
     cols = rows[None, :]
+    adaptive = scale_phases > 1 and scale_thresh > 0.0
+    if adaptive:
+        nn_col = jnp.argmax(value, axis=1)  # each row's nearest gt column
+        hit = jnp.zeros((n,), jnp.int32).at[nn_col].set(1)
+        run_scaling = jnp.sum(hit) < scale_thresh * n
+    else:
+        run_scaling = None
 
-    def run_phase(eps_p, force_last, price0):
+    def run_phase(eps_p, force_last, price0, enabled=None):
         def cond(state):
             it, ass, _ = state
             if not early_exit:  # reference structure: all iters always run
-                return it < iters
-            return jnp.logical_and(it < iters, jnp.any(ass < 0))
+                alive = it < iters
+            else:
+                alive = jnp.logical_and(it < iters, jnp.any(ass < 0))
+            if enabled is not None:
+                alive = jnp.logical_and(alive, enabled)
+            return alive
 
         def body(state):
             it, ass, price = state
@@ -125,7 +148,10 @@ def _auction_element(x1: jnp.ndarray, x2: jnp.ndarray, eps: float, iters: int,
     ass = jnp.full((n,), -1, jnp.int32)
     for p in range(scale_phases):
         eps_p = eps * (scale_factor ** (scale_phases - 1 - p))
-        ass, price = run_phase(eps_p, p == scale_phases - 1, price)
+        final = p == scale_phases - 1
+        ass, price = run_phase(
+            eps_p, final, price, None if final else run_scaling
+        )
     dist = jnp.sum((x1 - x2[ass]) ** 2, axis=-1)
     return dist, ass
 
@@ -137,11 +163,12 @@ def earth_mover_distance_ref(
     iters: int = 50,
     scale_phases: int = 1,
     early_exit: bool = True,
+    scale_thresh: float = 0.0,
 ):
     """Pure-XLA auction EMD. Same outputs as :func:`earth_mover_distance`."""
     fn = functools.partial(
         _auction_element, eps=eps, iters=iters, scale_phases=scale_phases,
-        early_exit=early_exit,
+        early_exit=early_exit, scale_thresh=scale_thresh,
     )
     return jax.vmap(fn)(xyz1.astype(jnp.float32), xyz2.astype(jnp.float32))
 
@@ -173,6 +200,7 @@ def _emd_kernel(
     scale_phases: int = 1,
     scale_factor: float = 5.0,
     early_exit: bool = True,
+    scale_thresh: float = 0.0,
 ):
     x1 = x1_ref[0]  # (N, CPAD)
     x2 = x2_ref[0]
@@ -198,8 +226,35 @@ def _emd_kernel(
     price_ref[:, :] = jnp.zeros((1, n), jnp.float32)
 
     n_chunks = n // _CHUNK
+
     chunk_cols = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, n), 1)
     chunk_rows_local = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, 1), 0)
+
+    # Adaptive epsilon-scaling decision: high-eps phases only pay off in the
+    # high-competition regime (see _auction_element's docstring), so gate
+    # them on the fraction of gt columns that are some pred row's nearest
+    # neighbor — one argmax pass over the value matrix, accumulated as a
+    # column-hit mask in com_col_ref (re-zeroed by every auction iteration
+    # anyway). All intermediates stay 2-D/keepdims: lane-dim-reducing 1-D
+    # vectors trip Mosaic relayout on this toolchain. When the gate is
+    # closed the phase while-loops run zero iterations and the result is
+    # bit-identical to the fixed-eps auction: prices are still zero and
+    # assignments still empty when the final phase starts.
+    if scale_phases > 1 and scale_thresh > 0.0:
+        com_col_ref[:, :] = jnp.zeros((1, n), jnp.int32)
+        for c in range(n_chunks):
+            sl = pl.ds(c * _CHUNK, _CHUNK)
+            vc = value_ref[sl, :] if store_value else value_chunk(sl)
+            bc = jnp.argmax(vc, axis=1, keepdims=True).astype(jnp.int32)
+            com_col_ref[:, :] = jnp.maximum(
+                com_col_ref[0:1, :],
+                jnp.max((chunk_cols == bc).astype(jnp.int32), axis=0,
+                        keepdims=True),
+            )
+        hits = jnp.sum(com_col_ref[0:1, :].astype(jnp.float32))
+        run_scaling = hits < scale_thresh * n
+    else:
+        run_scaling = None
 
     def make_iteration(eps_p, force_last):
       def iteration(state):
@@ -322,6 +377,7 @@ def _emd_kernel(
 
     for p in range(scale_phases):
         eps_p = eps * (scale_factor ** (scale_phases - 1 - p))
+        final = p == scale_phases - 1
         ass_ref[:, :] = jnp.full((n, 1), -1, jnp.int32)
         for c in range(n_chunks):
             cnt_ref[c] = _CHUNK
@@ -329,9 +385,13 @@ def _emd_kernel(
             loop_cond = lambda s: jnp.logical_and(s[0] < iters, s[1] > 0)
         else:  # reference structure: the CUDA driver always runs all iters
             loop_cond = lambda s: s[0] < iters
+        if not final and run_scaling is not None:
+            loop_cond = lambda s, _c=loop_cond: jnp.logical_and(
+                _c(s), run_scaling
+            )
         jax.lax.while_loop(
             loop_cond,
-            make_iteration(eps_p, p == scale_phases - 1),
+            make_iteration(eps_p, final),
             (jnp.int32(0), jnp.int32(n)),
         )
 
@@ -354,10 +414,12 @@ def _emd_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("eps", "iters", "scale_phases", "early_exit", "interpret"),
+    static_argnames=("eps", "iters", "scale_phases", "early_exit",
+                     "scale_thresh", "interpret"),
 )
 def _emd_pallas(xyz1, xyz2, eps: float, iters: int, scale_phases: int = 1,
-                early_exit: bool = True, interpret: bool = False):
+                early_exit: bool = True, scale_thresh: float = 0.0,
+                interpret: bool = False):
     b, n, _ = xyz1.shape
     store_value = n <= _MAX_N_IN_VMEM
     x1 = jnp.pad(xyz1, ((0, 0), (0, 0), (0, _COORD_PAD - 3)))
@@ -366,6 +428,7 @@ def _emd_pallas(xyz1, xyz2, eps: float, iters: int, scale_phases: int = 1,
         functools.partial(
             _emd_kernel, n=n, eps=eps, iters=iters, store_value=store_value,
             scale_phases=scale_phases, early_exit=early_exit,
+            scale_thresh=scale_thresh,
         ),
         grid=(b,),
         in_specs=[
@@ -429,7 +492,7 @@ def _warn_fallback_once(n: int) -> None:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def earth_mover_distance(
     xyz1: jnp.ndarray,
     xyz2: jnp.ndarray,
@@ -437,6 +500,7 @@ def earth_mover_distance(
     iters: int = 50,
     scale_phases: int = 1,
     early_exit: bool = True,
+    scale_thresh: float = 0.0,
 ):
     """Approximate EMD matching via the auction algorithm.
 
@@ -456,17 +520,30 @@ def earth_mover_distance(
         prices. Same final-eps optimality guarantee. Measured on v5e
         (B=32, N=1024, train settings): 2.6x faster when clouds are far
         apart (early training), ~1.8x slower when they already overlap —
-        use for the early epochs, or when predictions start far from the
-        target scale.
+        use with ``scale_thresh`` so the data decide per batch element.
+      scale_thresh: 0 (default) = scaling phases always run when
+        ``scale_phases > 1``. >0 = *adaptive* scaling: each element's
+        high-eps phases run only if its nearest-neighbor competition
+        statistic — the fraction of gt columns that are some pred point's
+        nearest neighbor — is BELOW this threshold (low fraction = heavy
+        column competition = long price wars = scaling wins; measured
+        ~0.005 early-training vs ~0.6-0.97 for overlapping clouds, so 0.3
+        separates the regimes). Skipped phases leave prices/assignments
+        untouched, so the result is then bit-identical to the fixed-eps
+        auction. Lets the training loss keep scaling on from epoch 1
+        through convergence with no schedule to tune.
 
     Returns:
       ``(dist, assignment)``: (B, N) squared matched distances and (B, N)
       int32 gt indices, as in emd_module.py:16-19.
     """
-    return _emd_fwd_impl(xyz1, xyz2, eps, iters, scale_phases, early_exit)
+    return _emd_fwd_impl(
+        xyz1, xyz2, eps, iters, scale_phases, early_exit, scale_thresh
+    )
 
 
-def _emd_fwd_impl(xyz1, xyz2, eps, iters, scale_phases=1, early_exit=True):
+def _emd_fwd_impl(xyz1, xyz2, eps, iters, scale_phases=1, early_exit=True,
+                  scale_thresh=0.0):
     if xyz1.shape != xyz2.shape:
         raise ValueError(
             f"EMD requires same-size clouds, got {xyz1.shape} vs {xyz2.shape}"
@@ -474,19 +551,24 @@ def _emd_fwd_impl(xyz1, xyz2, eps, iters, scale_phases=1, early_exit=True):
     xyz1 = xyz1.astype(jnp.float32)
     xyz2 = xyz2.astype(jnp.float32)
     if _use_pallas(xyz1.shape[1]):
-        return _emd_pallas(xyz1, xyz2, eps, iters, scale_phases, early_exit)
+        return _emd_pallas(
+            xyz1, xyz2, eps, iters, scale_phases, early_exit, scale_thresh
+        )
     _warn_fallback_once(xyz1.shape[1])
     return earth_mover_distance_ref(
-        xyz1, xyz2, eps, iters, scale_phases, early_exit
+        xyz1, xyz2, eps, iters, scale_phases, early_exit, scale_thresh
     )
 
 
-def _emd_fwd(xyz1, xyz2, eps, iters, scale_phases, early_exit):
-    dist, ass = _emd_fwd_impl(xyz1, xyz2, eps, iters, scale_phases, early_exit)
+def _emd_fwd(xyz1, xyz2, eps, iters, scale_phases, early_exit, scale_thresh):
+    dist, ass = _emd_fwd_impl(
+        xyz1, xyz2, eps, iters, scale_phases, early_exit, scale_thresh
+    )
     return (dist, ass), (xyz1, xyz2, ass)
 
 
-def _emd_bwd(eps, iters, scale_phases, early_exit, res, cotangents):
+def _emd_bwd(eps, iters, scale_phases, early_exit, scale_thresh, res,
+             cotangents):
     xyz1, xyz2, ass = res
     g, _ = cotangents
     bidx = jnp.arange(xyz1.shape[0])[:, None]

@@ -85,7 +85,7 @@ def _trace_key(config: TrainConfig, loss_mode: str) -> tuple:
     key = (
         loss_mode, config.weight_decay, config.lambda_cd, config.lambda_emd,
         config.emd_eps, config.emd_iters, config.emd_scale_phases,
-        config.emd_early_exit,
+        config.emd_early_exit, config.emd_scale_thresh,
     )
     if loss_mode == "finetune":
         key += (config.lambda_bce, config.grid_h, config.grid_w,
@@ -179,6 +179,7 @@ class Trainer:
                 emd = emd_loss(
                     pc3, points, cfg.emd_eps, cfg.emd_iters,
                     cfg.emd_scale_phases, cfg.emd_early_exit,
+                    cfg.emd_scale_thresh,
                 )
                 if self.loss_mode == "finetune":
                     from fenet.geometry.projection import project_silhouettes

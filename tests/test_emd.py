@@ -146,6 +146,74 @@ def test_pallas_scale_phases_matches_ref():
     )
 
 
+def test_adaptive_scaling_skips_phases_for_near_clouds():
+    """scale_thresh > mean NN distance: the high-eps phases must be skipped
+    and the result bit-identical to the fixed-eps auction (prices start at
+    zero, assignments empty), in both the XLA reference and the kernel."""
+    rng = np.random.RandomState(10)
+    x1 = rng.rand(2, 256, 3).astype(np.float32)
+    x2 = (
+        x1[:, rng.permutation(256)]
+        + rng.randn(2, 256, 3).astype(np.float32) * 0.005
+    )
+    d_fix, a_fix = earth_mover_distance_ref(
+        jnp.asarray(x1), jnp.asarray(x2), 0.05, 300
+    )
+    d_ad, a_ad = earth_mover_distance_ref(
+        jnp.asarray(x1), jnp.asarray(x2), 0.05, 300, scale_phases=3,
+        scale_thresh=0.1,
+    )
+    np.testing.assert_array_equal(np.asarray(a_ad), np.asarray(a_fix))
+    np.testing.assert_array_equal(np.asarray(d_ad), np.asarray(d_fix))
+    d_pal, a_pal = _emd_pallas(
+        jnp.asarray(x1), jnp.asarray(x2), 0.05, 300, scale_phases=3,
+        scale_thresh=0.1, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(a_pal), np.asarray(a_fix))
+    np.testing.assert_allclose(
+        np.asarray(d_pal), np.asarray(d_fix), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_adaptive_scaling_runs_phases_for_far_clouds():
+    """Far-apart clouds (mean NN distance above the threshold): adaptive mode
+    must take the scaling path, matching unconditional scale_phases — and the
+    kernel must match the XLA reference."""
+    rng = np.random.RandomState(11)
+    x1 = (rng.rand(1, 256, 3) * 0.2).astype(np.float32)
+    x2 = (rng.rand(1, 256, 3) * 0.2 + 0.7).astype(np.float32)
+    d_sc, a_sc = earth_mover_distance_ref(
+        jnp.asarray(x1), jnp.asarray(x2), 0.05, 300, scale_phases=3
+    )
+    d_ad, a_ad = earth_mover_distance_ref(
+        jnp.asarray(x1), jnp.asarray(x2), 0.05, 300, scale_phases=3,
+        scale_thresh=0.1,
+    )
+    np.testing.assert_array_equal(np.asarray(a_ad), np.asarray(a_sc))
+    d_pal, a_pal = _emd_pallas(
+        jnp.asarray(x1), jnp.asarray(x2), 0.05, 300, scale_phases=3,
+        scale_thresh=0.1, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(a_pal), np.asarray(a_sc))
+    np.testing.assert_allclose(
+        np.asarray(d_pal), np.asarray(d_sc), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_adaptive_scaling_gradient_and_facade():
+    """custom_vjp arity with the new static arg; facade pass-through."""
+    from fenet.losses.facade import emd_loss
+
+    x1, x2 = _make_clouds(2, 128, seed=12)
+
+    def loss(a):
+        return emd_loss(a, jnp.asarray(x2), 0.05, 200, 3, True, 0.1)
+
+    g = jax.grad(loss)(jnp.asarray(x1))
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).max()) > 0
+
+
 def test_no_early_exit_matches_early_exit_result():
     """early_exit=False (the reference driver's run-all-iters structure,
     emd_cuda.cu:256) must land on the same assignment: post-convergence
@@ -159,7 +227,7 @@ def test_no_early_exit_matches_early_exit_result():
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-7)
     # pallas kernel path too (interpret)
     d3, a3 = _emd_pallas(
-        jnp.asarray(x1), jnp.asarray(x2), 0.05, 300, 1, False, True
+        jnp.asarray(x1), jnp.asarray(x2), 0.05, 300, 1, False, interpret=True
     )
     np.testing.assert_array_equal(np.asarray(a3), np.asarray(a1))
 
