@@ -61,6 +61,45 @@ def _tiny(cfg_kw, mesh):
     return trainer, state
 
 
+def test_tp_eval_step_matches_single_device():
+    """The batched eval step (forward + CD/EMD metrics) on a dp x tp mesh
+    with Megatron-sharded variables must reproduce the single-device
+    metrics: GSPMD places the decoder all-reduces, and per-sample metrics
+    are independent of the batch sharding. ICP is disabled here — it is
+    batch-dim-only (never model-sharded), and its iterative alignment of
+    random-init clouds chaotically amplifies the ~1e-6 reduction-order
+    difference of the TP matmuls into percent-level metric noise."""
+    from fenet.eval.runner import make_eval_step
+    from fenet.parallel.tp import shard_tree
+
+    assert jax.device_count() >= 4
+    model = Generator(num_points=256, backbone="RepVGG-TEST",
+                      fine_width=32, mid_width=16)
+    rng = np.random.RandomState(7)
+    images = (rng.rand(4, 64, 64, 3) * 255).astype(np.uint8)
+    points = rng.rand(4, 256, 3).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1, 64, 64, 3), np.float32), train=False)
+
+    kw = dict(align=False, emd_iters=2)
+    step1, mesh1 = make_eval_step(model, mesh=make_mesh(1), **kw)
+    out1 = step1(variables, images, points)
+
+    mesh_tp = make_dp_tp_mesh(2, 2)
+    vars_tp = shard_tree(variables, mesh_tp)
+    k = vars_tp["params"]["decoder"]["fc1_1"]["kernel"]
+    assert k.sharding.spec == P(None, MODEL_AXIS)
+    step_tp, _ = make_eval_step(model, mesh=mesh_tp, **kw)
+    b = shard_batch({"i": images, "p": points}, mesh_tp)
+    out_tp = step_tp(vars_tp, b["i"], b["p"])
+
+    for key in ("cd", "emd"):
+        np.testing.assert_allclose(
+            np.asarray(out_tp[key]), np.asarray(out1[key]), rtol=2e-4,
+            atol=1e-5, err_msg=key,
+        )
+
+
 def test_tp_state_sharded_and_step_matches_dp():
     """One optimizer step on a (2, 2) dp x tp mesh must match the plain
     2-device dp mesh: same losses, same updated Megatron params (the split
