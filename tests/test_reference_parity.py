@@ -242,15 +242,15 @@ def test_emd_within_recorded_optimal_margin(goldens):
     at_eval = np.asarray(jnp.sqrt(dist).mean(axis=1))
     assert (np.abs(at_eval - opt) <= 0.15 * opt).all(), (at_eval, opt)
 
-    # Convergence check on 2 of the 4 golden elements: the near-converged
+    # Convergence check on 1 of the 4 golden elements: the near-converged
     # fixed-eps auction at eps=0.005 costs ~45s/element of suite wall time
     # on this 1-core sandbox (per-element optimal values make the subset
-    # valid), and two elements already catch any systematic quality drift.
+    # valid), and one element already catches systematic quality drift.
     dist, ass = earth_mover_distance(
-        jnp.asarray(a[:2]), jnp.asarray(b[:2]), 0.005, 3000
+        jnp.asarray(a[:1]), jnp.asarray(b[:1]), 0.005, 3000
     )
     converged = np.asarray(jnp.sqrt(dist).mean(axis=1))
-    opt2 = np.asarray(opt)[:2]
+    opt2 = np.asarray(opt)[:1]
     assert (converged >= opt2 - 1e-4).all(), "bijective cost beat the optimum"
     assert (converged <= opt2 * 1.005).all(), (converged, opt2)
     uniq = [len(np.unique(np.asarray(ass[k]))) for k in range(ass.shape[0])]
