@@ -112,13 +112,18 @@ def run_batched(model, variables, batches, mesh):
     out = _retry(lambda: step(variables, *_put(img, pts, mesh)))
     _np.asarray(out["cd"])
 
-    n = 0
-    t0 = time.time()
-    for img, pts in batches:
-        out = step(variables, *_put(img, pts, mesh))
-        n += img.shape[0]
-    last_cd = float(np.mean(np.asarray(out["cd"])))  # forces full drain
-    wall = time.time() - t0
+    # Median of 3 passes: the end-to-end number rides the shared host->
+    # device tunnel, whose bandwidth varies run to run — a single pass was
+    # observed anywhere in 323-451 img/s for identical code.
+    n = sum(img.shape[0] for img, pts in batches)
+    walls = []
+    for _ in range(3):
+        t0 = time.time()
+        for img, pts in batches:
+            out = step(variables, *_put(img, pts, mesh))
+        last_cd = float(np.mean(np.asarray(out["cd"])))  # forces full drain
+        walls.append(time.time() - t0)
+    wall = sorted(walls)[1]
 
     # Device-compute-only throughput (inputs staged in HBM up front): on
     # hosts where the PCIe/tunnel link is slow the end-to-end number above
@@ -194,7 +199,10 @@ def run_train_bench(mesh, batch=128, warmup=2, steps=3):
         return n_steps / wall
 
     steps_per_sec = timed_steps(True, steps, warmup)
-    base_steps_per_sec = timed_steps(False, 1, 1)
+    # Same warmup count as the main measurement: the auction's cost depends
+    # strongly on the training state (how far predictions sit from the
+    # targets), so both sides must be timed from the same step index.
+    base_steps_per_sec = timed_steps(False, 1, warmup)
     return batch * steps_per_sec, steps_per_sec, batch * base_steps_per_sec
 
 
