@@ -35,6 +35,11 @@ def add_common_args(parser: argparse.ArgumentParser):
     parser.add_argument("--pretrained_backbone", type=str, default=None)
     parser.add_argument("--data_parallel", type=int, default=1,
                         help="devices in the batch mesh axis")
+    parser.add_argument("--model_parallel", type=int, default=1,
+                        help=">1 adds a 'model' mesh axis with Megatron "
+                             "column/row sharding of the decoder heads "
+                             "(fenet.parallel.tp); mesh = (data_parallel, "
+                             "model_parallel)")
     parser.add_argument("--emd_iters", type=int, default=3000)
     parser.add_argument("--emd_eps", type=float, default=0.05)
     parser.add_argument("--emd_scale_phases", type=int, default=3,
@@ -72,6 +77,7 @@ def config_from_args(opt) -> TrainConfig:
         backbone=opt.backbone,
         pretrained_backbone=opt.pretrained_backbone,
         data_parallel=opt.data_parallel,
+        model_parallel=opt.model_parallel,
         emd_eps=opt.emd_eps,
         emd_iters=opt.emd_iters,
         emd_scale_phases=opt.emd_scale_phases,

@@ -71,3 +71,20 @@ def test_progress_meter_and_accuracy(capsys):
     tgt = np.array([1, 2])
     top1, top2 = accuracy(out, tgt, topk=(1, 2))
     assert top1 == 50.0 and top2 == 50.0
+
+
+def test_cli_parallelism_flags_reach_config():
+    """--data_parallel/--model_parallel flow into TrainConfig (cli/common.py)."""
+    import argparse
+
+    from fenet.cli.common import add_common_args, config_from_args
+
+    parser = add_common_args(argparse.ArgumentParser())
+    opt = parser.parse_args(
+        ["--data_parallel", "4", "--model_parallel", "2", "--num_points",
+         "2048"]
+    )
+    cfg = config_from_args(opt)
+    assert cfg.data_parallel == 4
+    assert cfg.model_parallel == 2
+    assert cfg.num_points == 2048
