@@ -45,6 +45,9 @@ def main(argv=None):
                         help="stop an element after this many non-improving "
                              "ICP iterations (0 = reference full budget)")
     parser.add_argument("--emd_iters", type=int, default=50)
+    parser.add_argument("--deploy", action="store_true",
+                        help="fold BN + RepVGG branches before eval "
+                             "(numerically equivalent, faster forward)")
     opt = parser.parse_args(argv)
     print(opt)
 
@@ -62,11 +65,16 @@ def main(argv=None):
         )
         variables = {"params": blob["params"],
                      "batch_stats": blob["batch_stats"]}
+        eval_gen = gen
+        if opt.deploy:
+            from fenet.models.generator import to_deploy
+
+            eval_gen, variables = to_deploy(gen, variables)
         ds = Pix3DDataset(opt.data_dir, category=cat,
                           num_points=opt.num_points)
         loader = DataLoader(ds, opt.batchSize, drop_last=False)
         _, _, summary = evaluate_dataset(
-            gen, variables, loader, category=cat, logger=logger,
+            eval_gen, variables, loader, category=cat, logger=logger,
             icp_iterations=opt.icp_iters, icp_patience=opt.icp_patience,
             emd_iters=opt.emd_iters,
         )

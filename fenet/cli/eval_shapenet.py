@@ -38,6 +38,11 @@ def main(argv=None):
                         help="stop an element after this many non-improving "
                              "ICP iterations (0 = reference full budget)")
     parser.add_argument("--emd_iters", type=int, default=50)
+    parser.add_argument("--deploy", action="store_true",
+                        help="fold BN + RepVGG branches into single 3x3 "
+                             "convs before eval (repvgg_model_convert, "
+                             "…_cmlp.py:440-448; numerically equivalent, "
+                             "faster forward)")
     opt = parser.parse_args(argv)
     print(opt)
 
@@ -56,6 +61,11 @@ def main(argv=None):
         )
         variables = {"params": blob["params"],
                      "batch_stats": blob["batch_stats"]}
+        eval_gen = gen
+        if opt.deploy:
+            from fenet.models.generator import to_deploy
+
+            eval_gen, variables = to_deploy(gen, variables)
         ds = ShapeNetDataset(
             opt.data_dir_imgs, opt.data_dir_pcl, val_models, [cat],
             opt.num_points, multi_resolution=False, check_exists=True,
@@ -63,7 +73,7 @@ def main(argv=None):
         )
         loader = DataLoader(ds, opt.batchSize, drop_last=False)
         cd_m, emd_m, summary = evaluate_dataset(
-            gen, variables, loader, category=cat, logger=logger,
+            eval_gen, variables, loader, category=cat, logger=logger,
             align=not opt.no_icp, icp_iterations=opt.icp_iters,
             icp_patience=opt.icp_patience,
             emd_iters=opt.emd_iters,

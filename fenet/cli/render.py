@@ -31,6 +31,9 @@ def main(argv=None):
     parser.add_argument("--backbone", type=str, default="RepVGG-A2")
     parser.add_argument("--out_dir", type=str, default="./renders/")
     parser.add_argument("--n_samples", type=int, default=8)
+    parser.add_argument("--deploy", action="store_true",
+                        help="fold BN + RepVGG branches before inference "
+                             "(numerically equivalent, faster forward)")
     opt = parser.parse_args(argv)
 
     gen = Generator(num_points=opt.num_points, backbone=opt.backbone)
@@ -42,6 +45,10 @@ def main(argv=None):
                 "batch_stats": variables["batch_stats"]},
     )
     variables = {"params": blob["params"], "batch_stats": blob["batch_stats"]}
+    if opt.deploy:
+        from fenet.models.generator import to_deploy
+
+        gen, variables = to_deploy(gen, variables)
 
     val_models = load_split(opt.splits_path, "val_models.json")
     ds = ShapeNetDataset(opt.data_dir_imgs, opt.data_dir_pcl, val_models,

@@ -225,6 +225,22 @@ def fold_generator_params(params, batch_stats):
     return folded
 
 
+def to_deploy(model: Generator, variables):
+    """Fold a trained Generator into its inference-serving form.
+
+    The reference ships ``repvgg_model_convert`` (…_cmlp.py:440-448) but no
+    driver ever invokes it; here the fold is a pure weight transform exposed
+    to the eval/render CLIs (``--deploy``). Returns ``(deploy_model,
+    deploy_variables)`` where the model runs single fused 3x3 convs (no BN,
+    no branch adds) and the variables carry only ``params``. Numerically
+    equivalent to the branched eval-mode forward (tests/test_deploy.py).
+    """
+    folded = fold_generator_params(
+        variables["params"], variables["batch_stats"]
+    )
+    return model.clone(deploy=True), {"params": folded}
+
+
 def transpose_clouds(*clouds: jnp.ndarray):
     """(B, N, 3) -> (B, 3, N), the reference's output convention."""
     out = tuple(jnp.transpose(c, (0, 2, 1)) for c in clouds)

@@ -39,3 +39,34 @@ def test_generator_deploy_fold_equivalence():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3
         )
+
+
+def test_to_deploy_through_eval_step():
+    """`to_deploy` + the batched eval step == branched eval step metrics
+    (the --deploy CLI path; align=False keeps ICP's chaotic sensitivity out
+    of the comparison)."""
+    from fenet.eval.runner import make_eval_step
+    from fenet.models.generator import to_deploy
+    from fenet.parallel.mesh import make_mesh, shard_batch
+
+    rng = np.random.RandomState(1)
+    images = (rng.rand(2, 128, 128, 3) * 255).astype(np.uint8)
+    points = rng.rand(2, 256, 3).astype(np.float32)
+    gen = Generator(num_points=256, backbone="RepVGG-TEST")
+    variables = gen.init(
+        jax.random.PRNGKey(0), np.zeros((1, 128, 128, 3), np.float32),
+        train=False,
+    )
+    mesh = make_mesh(1)
+    sharded = shard_batch({"i": images, "p": points}, mesh)
+
+    step, _ = make_eval_step(gen, mesh=mesh, align=False, emd_iters=10)
+    ref = step(variables, sharded["i"], sharded["p"])
+
+    dep_gen, dep_vars = to_deploy(gen, variables)
+    assert dep_gen.deploy and "batch_stats" not in dep_vars
+    dstep, _ = make_eval_step(dep_gen, mesh=mesh, align=False, emd_iters=10)
+    got = dstep(dep_vars, sharded["i"], sharded["p"])
+    np.testing.assert_allclose(
+        np.asarray(ref["cd"]), np.asarray(got["cd"]), rtol=1e-3, atol=1e-3
+    )

@@ -100,6 +100,22 @@ def test_render_cli(workdir, trained):
     ])
     assert os.path.exists(os.path.join(out_dir, f"{CAT}_000.png"))
 
+    # --deploy folds BN + branches at load (repvgg_model_convert equivalent)
+    # and must drive the same render path.
+    dep_dir = os.path.join(workdir, "renders_deploy")
+    main([
+        "--category", CAT,
+        "--model", os.path.join(workdir, "output", "%s", "checkpoints") + "/",
+        "--splits_path", os.path.join(workdir, "splits"),
+        "--data_dir_imgs", os.path.join(workdir, "ShapeNetRendering") + "/",
+        "--data_dir_pcl", os.path.join(workdir, "ShapeNet_pointclouds") + "/",
+        "--backbone", "RepVGG-TEST",
+        "--out_dir", dep_dir,
+        "--n_samples", "1",
+        "--deploy",
+    ])
+    assert os.path.exists(os.path.join(dep_dir, f"{CAT}_000.png"))
+
 
 def test_prepare_data_cli(workdir):
     from fenet.cli.prepare_data import main
