@@ -72,7 +72,9 @@ def main(argv=None):
             name = batch["name"][0]
             gt_path = os.path.join(out_dir, f"{name}_gt.png")
             pr_path = os.path.join(out_dir, f"{name}_pr.png")
-            if os.path.exists(gt_path):  # save_pix3d_img.py:87 skip-exists
+            # save_pix3d_img.py:87 skip-exists; require BOTH files so a run
+            # interrupted between the two saves reproduces the missing one.
+            if os.path.exists(gt_path) and os.path.exists(pr_path):
                 continue
             pred = np.asarray(forward(variables, batch["image"]))[0]
             style = dict(scale=opt.scale, azim=opt.azim, elev=opt.elev)

@@ -187,7 +187,6 @@ def _emd_kernel(
     price_ref,  # (1, N) scratch f32
     ass_ref,  # (N, 1) scratch i32
     best_col_ref,  # (N, 1) scratch i32
-    inc_ref,  # (N, 1) scratch f32
     winner_inc_ref,  # (1, N) scratch f32
     winner_row_ref,  # (1, N) scratch i32
     com_col_ref,  # (1, N) scratch i32 (0/1)
@@ -291,8 +290,7 @@ def _emd_kernel(
                     keepdims=True,
                 )
                 inc = best - better + eps_p
-                best_col_ref[sl, :] = bc  # phase 3 still reads these
-                inc_ref[sl, :] = inc
+                best_col_ref[sl, :] = bc  # phase 3 still reads this
 
                 unass = ass_ref[sl, :] < 0  # (CHUNK, 1)
                 onehot = (chunk_cols == bc) & unass
@@ -450,7 +448,6 @@ def _emd_pallas(xyz1, xyz2, eps: float, iters: int, scale_phases: int = 1,
             pltpu.VMEM((1, n), jnp.float32),
             pltpu.VMEM((n, 1), jnp.int32),
             pltpu.VMEM((n, 1), jnp.int32),
-            pltpu.VMEM((n, 1), jnp.float32),
             pltpu.VMEM((1, n), jnp.float32),
             pltpu.VMEM((1, n), jnp.int32),
             pltpu.VMEM((1, n), jnp.int32),

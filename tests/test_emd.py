@@ -147,7 +147,9 @@ def test_pallas_scale_phases_matches_ref():
 
 
 def test_adaptive_scaling_skips_phases_for_near_clouds():
-    """scale_thresh > mean NN distance: the high-eps phases must be skipped
+    """Near-converged clouds score a HIGH nearest-neighbor competition
+    fraction (most gt columns are some pred point's NN), so with
+    scale_thresh=0.1 the gate closes: the high-eps phases must be skipped
     and the result bit-identical to the fixed-eps auction (prices start at
     zero, assignments empty), in both the XLA reference and the kernel."""
     rng = np.random.RandomState(10)
@@ -176,8 +178,9 @@ def test_adaptive_scaling_skips_phases_for_near_clouds():
 
 
 def test_adaptive_scaling_runs_phases_for_far_clouds():
-    """Far-apart clouds (mean NN distance above the threshold): adaptive mode
-    must take the scaling path, matching unconditional scale_phases — and the
+    """A clustered cloud fighting over few targets scores a LOW nearest-
+    neighbor competition fraction (below the threshold): adaptive mode must
+    take the scaling path, matching unconditional scale_phases — and the
     kernel must match the XLA reference."""
     rng = np.random.RandomState(11)
     x1 = (rng.rand(1, 256, 3) * 0.2).astype(np.float32)

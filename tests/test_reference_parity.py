@@ -189,7 +189,7 @@ def test_chamfer_matches_reference_golden(goldens):
 
     d1, d2, i1, i2 = chamfer_distance(jnp.asarray(a), jnp.asarray(b))
     cd = np.asarray(d1.mean(axis=1) + d2.mean(axis=1))
-    np.testing.assert_allclose(cd, data["cd_per_sample"], rtol=1e-2)
+    # rtol 1e-5 is far inside the BASELINE.json 1% (rtol 1e-2) bar.
     np.testing.assert_allclose(cd, data["cd_per_sample"], rtol=1e-5)
     np.testing.assert_allclose(
         np.asarray(d1.mean(axis=1)), data["dist1_mean"], rtol=1e-5
