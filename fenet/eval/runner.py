@@ -31,6 +31,22 @@ from fenet.utils.average_meter import AverageMeter
 _EVAL_STEP_CACHE: Dict[tuple, object] = {}
 
 
+def _local_values(arr):
+    """This process's values of a possibly multi-host global array: on a
+    mesh spanning several processes the metric outputs are not fully
+    addressable, and each process reads back exactly the samples it fed
+    (batch-dim shards are per-process contiguous by construction of
+    shard_batch)."""
+    import numpy as np
+
+    if getattr(arr, "is_fully_addressable", True):
+        return np.asarray(arr)
+    shards = sorted(
+        arr.addressable_shards, key=lambda s: s.index[0].start or 0
+    )
+    return np.concatenate([np.asarray(s.data) for s in shards])
+
+
 def make_eval_step(
     model,
     mesh=None,
@@ -109,20 +125,25 @@ def evaluate_dataset(
 
     step, mesh = make_eval_step(model, mesh=mesh, **step_kwargs)
     n_dev = mesh.devices.size
+    mesh_procs = len({d.process_index for d in mesh.devices.flat})
+    # Multi-host: the dataloader yields this process's LOCAL slice (see
+    # fenet.parallel.distributed.ProcessShardDataset); pad it so the
+    # assembled global batch divides over the full mesh.
+    local_dev = n_dev // mesh_procs
     emd_sum = cd_sum = 0.0
     n_samples = 0
     t0 = time.time()
     for i, batch in enumerate(dataloader, start=1):
         images, points = batch["image"], batch["points"]
         valid = images.shape[0]
-        pad = (-valid) % n_dev  # shard_map needs divisible batches
+        pad = (-valid) % local_dev  # shard_map needs divisible batches
         if pad:
             images = np.concatenate([images, images[-1:].repeat(pad, 0)])
             points = np.concatenate([points, points[-1:].repeat(pad, 0)])
         sharded = shard_batch({"image": images, "points": points}, mesh)
         out = step(variables, sharded["image"], sharded["points"])
-        emd = np.asarray(out["emd"])[:valid]
-        cd = np.asarray(out["cd"])[:valid]
+        emd = _local_values(out["emd"])[:valid]
+        cd = _local_values(out["cd"])[:valid]
         emd_sum += float(emd.sum())
         cd_sum += float(cd.sum())
         n_samples += valid
@@ -133,6 +154,17 @@ def evaluate_dataset(
                 ["%.4f" % m for m in (emd.mean(), cd.mean())],
             )
     wall = time.time() - t0
+    if mesh_procs > 1:  # combine the per-process partial sums
+        from jax.experimental import multihost_utils
+
+        import numpy as np
+
+        totals = multihost_utils.process_allgather(
+            np.asarray([emd_sum, cd_sum, float(n_samples)])
+        ).sum(axis=0)
+        emd_sum, cd_sum, n_samples = (
+            float(totals[0]), float(totals[1]), int(totals[2]),
+        )
     avg = [emd_sum / max(n_samples, 1), cd_sum / max(n_samples, 1)]
     summary = {
         "EMD_distance": avg[0],

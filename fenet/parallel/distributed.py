@@ -1,15 +1,26 @@
-"""Multi-host initialization (out-of-scope for reference parity — it is
+"""Multi-host data parallelism (out-of-scope for reference parity — it is
 single-process, SURVEY.md §2.3 — but first-class here).
 
 On a multi-host TPU slice, call :func:`initialize` once per process before
-any jax computation; ``make_mesh`` then sees the global device set and the same
-shard_map train step scales across hosts (collectives ride ICI within a
-slice, DCN across slices — XLA picks per the mesh layout).
+any jax computation; ``make_mesh`` then sees the global device set and the
+same shard_map train step scales across hosts (collectives ride ICI within a
+slice, DCN across slices — XLA picks per the mesh layout). Each process
+feeds only its own slice of every global batch: wrap the dataset in
+:class:`ProcessShardDataset` and size the DataLoader with
+:func:`local_batch_size`; ``fenet.parallel.mesh.shard_batch`` assembles the
+per-process slices into one batch-sharded global array
+(``jax.make_array_from_process_local_data``). The train driver wires all of
+this up automatically when ``jax.process_count() > 1``.
+
+Validated by a real two-process CPU cluster in tests/test_distributed.py:
+cross-process Gloo collectives under the identical shard_map train step.
 """
 
 from __future__ import annotations
 
 from typing import Optional
+
+import numpy as np
 
 
 def initialize(
@@ -33,3 +44,70 @@ def initialize(
         num_processes=num_processes,
         process_id=process_id,
     )
+
+
+def is_primary() -> bool:
+    """True on the process that should own filesystem side effects
+    (checkpoints, tensorboard scalars, log files)."""
+    import jax
+
+    return jax.process_index() == 0
+
+
+def local_batch_size(global_batch: int, process_count: Optional[int] = None) -> int:
+    """Per-process slice of a global batch; must divide evenly — a ragged
+    split would give processes different step counts and deadlock the
+    collectives."""
+    import jax
+
+    n = process_count if process_count is not None else jax.process_count()
+    if global_batch % n:
+        raise ValueError(
+            f"global batch {global_batch} not divisible by {n} processes"
+        )
+    return global_batch // n
+
+
+class ProcessShardDataset:
+    """The ``process_index``-th strided shard of a dataset.
+
+    Every process must run the *same number* of steps per epoch (each step is
+    a cross-host collective), so shards are padded to equal length by
+    wrapping around within the shard — at most one duplicate sample per
+    process per epoch, the standard distributed-sampler trade.
+
+    Forwards the optional ``load_batch`` fast path (native C++ batch decode,
+    fenet.data.shapenet) through the index mapping.
+    """
+
+    def __init__(self, dataset, process_index: Optional[int] = None,
+                 process_count: Optional[int] = None):
+        import jax
+
+        pi = jax.process_index() if process_index is None else process_index
+        pc = jax.process_count() if process_count is None else process_count
+        if not 0 <= pi < pc:
+            raise ValueError(f"process_index {pi} out of range for {pc}")
+        n = len(dataset)
+        if n < pc:
+            raise ValueError(
+                f"dataset of {n} samples cannot shard over {pc} processes"
+            )
+        idx = np.arange(pi, n, pc)
+        target = -(-n // pc)  # ceil: longest shard's length
+        if len(idx) < target:
+            idx = np.concatenate([idx, idx[: target - len(idx)]])
+        self.dataset = dataset
+        self._indices = idx
+
+    def __len__(self) -> int:
+        return len(self._indices)
+
+    def __getitem__(self, i: int):
+        return self.dataset[int(self._indices[i])]
+
+    def load_batch(self, indices):
+        load = getattr(self.dataset, "load_batch", None)
+        if load is None:
+            return None
+        return load([int(self._indices[i]) for i in indices])

@@ -39,12 +39,25 @@ def replicate(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    """device_put a pytree of (B, ...) arrays batch-sharded over the mesh."""
+    """device_put a pytree of (B, ...) arrays batch-sharded over the mesh.
+
+    Single-process: ``batch`` is the full global batch. Multi-process (a mesh
+    spanning several hosts): ``batch`` is this process's LOCAL slice — global
+    batch-sharded arrays are assembled from the per-process slices without
+    any cross-host data movement (each host's samples land on its own
+    devices; see fenet.parallel.distributed.ProcessShardDataset).
+    """
     sh = batch_sharding(mesh)
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sh) if getattr(x, "ndim", 0) >= 1 else x,
-        batch,
-    )
+    multi = len({d.process_index for d in mesh.devices.flat}) > 1
+
+    def put(x):
+        if getattr(x, "ndim", 0) < 1:
+            return x
+        if multi:
+            return jax.make_array_from_process_local_data(sh, np.asarray(x))
+        return jax.device_put(x, sh)
+
+    return jax.tree_util.tree_map(put, batch)
 
 
 def shard_map_batch(fn, mesh: Mesh, in_batch_args, n_args, out_specs):

@@ -81,23 +81,56 @@ def train_net(
     cat = category if isinstance(category, str) else "".join(category)
     if cfg.manual_seed is None:
         cfg.manual_seed = random.randint(1, 10000)  # train.py:59
+    if jax.process_count() > 1:
+        # All processes must init identical params/shuffles: take process
+        # 0's seed everywhere (a per-process random seed would diverge the
+        # replicas at init).
+        from jax.experimental import multihost_utils
+
+        cfg.manual_seed = int(
+            multihost_utils.broadcast_one_to_all(
+                np.asarray(cfg.manual_seed, np.int32)
+            )
+        )
     np.random.seed(cfg.manual_seed)
 
     if train_ds is None or val_ds is None:
         train_ds, val_ds = _build_datasets(cfg, category)
+    # Multi-host: each process loads its own slice of every global batch
+    # (same global semantics — the mesh step assembles the slices); only
+    # process 0 owns filesystem side effects.
+    n_proc = jax.process_count()
+    primary = jax.process_index() == 0
+    batch_size = cfg.batch_size
+    if n_proc > 1:
+        from fenet.parallel.distributed import (
+            ProcessShardDataset,
+            local_batch_size,
+        )
+
+        batch_size = local_batch_size(cfg.batch_size, n_proc)
+        train_ds = ProcessShardDataset(train_ds)
+        if len(val_ds):
+            val_ds = ProcessShardDataset(val_ds)
     train_loader = DataLoader(
-        train_ds, cfg.batch_size, shuffle=True, drop_last=True,
+        train_ds, batch_size, shuffle=True, drop_last=True,
         seed=cfg.manual_seed,
     )
-    val_loader = DataLoader(val_ds, min(cfg.batch_size, max(len(val_ds), 1)),
+    val_loader = DataLoader(val_ds, min(batch_size, max(len(val_ds), 1)),
                             shuffle=False, drop_last=False)
 
     output_dir = os.path.join(cfg.dir_path, cat)
     ckpt_dir = os.path.join(output_dir, "checkpoints")
     log_dir = os.path.join(output_dir, "logs", datetime.now().isoformat())
-    os.makedirs(ckpt_dir, exist_ok=True)
-    logger = get_logger(os.path.join(ckpt_dir, "logging.log"))
-    train_writer = MetricWriter(os.path.join(log_dir, "train"))
+    if primary:
+        os.makedirs(ckpt_dir, exist_ok=True)
+        logger = get_logger(os.path.join(ckpt_dir, "logging.log"))
+        train_writer = MetricWriter(os.path.join(log_dir, "train"))
+    else:  # workers: console only, no checkpoint/log/scalar files
+        import logging
+
+        logger = logging.getLogger(f"fenet.worker{jax.process_index()}")
+        train_writer = None
 
     gen = model or Generator(num_points=cfg.num_points, backbone=cfg.backbone)
     trainer = Trainer(gen, cfg, loss_mode=loss_mode)
@@ -147,12 +180,13 @@ def train_net(
         )
         epoch_time = time.time() - t0
         all_epoch_time += epoch_time
-        train_writer.add_scalar(
-            "Loss/Epoch/chamfer_loss", epoch_stats["chamfer_loss"], epoch
-        )
-        train_writer.add_scalar(
-            "Loss/Epoch/emd_loss", epoch_stats["emd_loss"], epoch
-        )
+        if train_writer is not None:
+            train_writer.add_scalar(
+                "Loss/Epoch/chamfer_loss", epoch_stats["chamfer_loss"], epoch
+            )
+            train_writer.add_scalar(
+                "Loss/Epoch/emd_loss", epoch_stats["emd_loss"], epoch
+            )
         logger.info(
             "[[Category %s] Epoch %d/%d] EpochTime = %.3f (s) "
             "All_epoch_time = %.3f (s) Losses = %s",
@@ -178,21 +212,27 @@ def train_net(
             )
             if is_best:
                 best_chamfer, best_emd = cd_m, emd_m
-            save_checkpoint(
-                {
-                    "params": state.params,
-                    "batch_stats": state.batch_stats,
-                    "opt_state": state.opt_state,
-                    "epoch": epoch,
-                    "model_name": ckpt_dir,
-                    "best_chamfer_loss": float(cd_m.state_dict()["ChamferDistance"]),
-                    "best_emd_loss": float(emd_m.state_dict()["EMD_distance"]),
-                    "train_time": all_epoch_time,
-                },
-                is_best, cat, ckpt_dir, epoch,
-            )
+            if primary:  # replicas hold identical state; one copy suffices
+                save_checkpoint(
+                    {
+                        "params": state.params,
+                        "batch_stats": state.batch_stats,
+                        "opt_state": state.opt_state,
+                        "epoch": epoch,
+                        "model_name": ckpt_dir,
+                        "best_chamfer_loss": float(
+                            cd_m.state_dict()["ChamferDistance"]
+                        ),
+                        "best_emd_loss": float(
+                            emd_m.state_dict()["EMD_distance"]
+                        ),
+                        "train_time": all_epoch_time,
+                    },
+                    is_best, cat, ckpt_dir, epoch,
+                )
             history[-1]["val"] = summary
 
-    train_writer.close()
+    if train_writer is not None:
+        train_writer.close()
     return {"state": state, "history": history, "ckpt_dir": ckpt_dir,
             "trainer": trainer, "model": gen}

@@ -1,11 +1,14 @@
-"""Multi-host initialization: a REAL two-process jax.distributed cluster.
+"""Multi-host data parallelism: REAL two-process jax.distributed clusters.
 
 The reference is single-process (SURVEY.md §2.3); fenet.parallel.distributed
-is first-class here. This test spawns two fresh interpreters that form a
+is first-class here. These tests spawn fresh interpreters that form a
 2-process JAX "cluster" over a local coordinator (process 0), each
-contributing one CPU device, and runs a cross-process allgather — the same
+contributing one CPU device, and run (a) a cross-process allgather and (b)
+the FULL sharded train step — per-process dataset shards assembled into a
+global batch, gradients pmean'd across processes over Gloo — the same
 control plane a multi-host TPU slice uses, minus ICI. Also covers the
-wrapper's single-host no-op guard in-process.
+wrapper's single-host no-op guard and the ProcessShardDataset slicing rules
+in-process.
 """
 
 import os
@@ -56,8 +59,90 @@ def _free_port() -> int:
 
 
 def test_two_process_cluster_allgather(tmp_path):
+    _run_two_process(_CHILD, tmp_path, "DIST_OK", timeout=300)
+
+
+_TRAIN_CHILD = textwrap.dedent(
+    """
+    import os, sys
+    sys.path.insert(0, {repo!r})
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ.pop("XLA_FLAGS", None)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    from fenet.parallel.distributed import initialize
+
+    pid = int(sys.argv[1])
+    initialize(coordinator_address=sys.argv[2], num_processes=2,
+               process_id=pid)
+    from fenet.utils.compilation_cache import enable
+    enable(platform="cpu")
+
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+
+    from fenet.models.generator import Generator
+    from fenet.parallel.distributed import (
+        ProcessShardDataset, local_batch_size,
+    )
+    from fenet.parallel.mesh import make_mesh, shard_batch
+    from fenet.train.config import TrainConfig
+    from fenet.train.trainer import Trainer
+
+    assert jax.device_count() == 2 and len(jax.local_devices()) == 1
+
+    class TinyDS:
+        def __len__(self):
+            return 6
+        def __getitem__(self, i):
+            rng = np.random.RandomState(i)
+            return {{"image": (rng.rand(32, 32, 3) * 255).astype(np.uint8),
+                     "points": rng.rand(256, 3).astype(np.float32)}}
+
+    shard = ProcessShardDataset(TinyDS())
+    assert len(shard) == 3  # equal per-process length
+    assert local_batch_size(2) == 1
+
+    cfg = TrainConfig(batch_size=2, emd_iters=2, backbone="RepVGG-TEST",
+                      data_parallel=2)
+    mesh = make_mesh(2)  # spans both processes
+    model = Generator(num_points=256, backbone=cfg.backbone,
+                      fine_width=32, mid_width=16)
+    trainer = Trainer(model, cfg, mesh=mesh)
+    # Identical seed on both processes -> identical replicated params.
+    state = trainer.init_state(
+        jax.random.PRNGKey(0), np.zeros((1, 32, 32, 3), np.float32)
+    )
+
+    sample = shard[0]
+    local = {{"image": sample["image"][None],
+              "points": sample["points"][None]}}
+    g = shard_batch(local, mesh)  # 2 x (1, ...) local slices -> (2, ...)
+    assert g["image"].shape[0] == 2, g["image"].shape
+
+    args = (state, g["image"], g["points"],
+            jnp.asarray(1, jnp.int32), jnp.asarray(cfg.lr, jnp.float32))
+    # AOT-compile, then barrier: compile skew between the children must not
+    # eat into the collective's execution-time rendezvous budget.
+    compiled = trainer._train_step.lower(*args).compile()
+    multihost_utils.sync_global_devices("compiled")
+    state2, stats = compiled(*args)
+    loss = float(stats["total_loss"])
+    assert np.isfinite(loss), loss
+    assert int(np.asarray(state2.step)) == 1
+    both = multihost_utils.process_allgather(np.asarray([loss]))
+    np.testing.assert_allclose(np.asarray(both).ravel(), loss, rtol=0)
+    print(f"DIST_TRAIN_OK {{pid}} {{loss}}", flush=True)
+    """
+)
+
+
+def _run_two_process(script_body: str, tmp_path, ok_marker: str,
+                     timeout: int = 560):
     script = tmp_path / "child.py"
-    script.write_text(_CHILD.format(repo=REPO))
+    script.write_text(script_body.format(repo=REPO))
     coord = f"127.0.0.1:{_free_port()}"
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
     procs = [
@@ -71,7 +156,7 @@ def test_two_process_cluster_allgather(tmp_path):
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=300)
+            out, _ = p.communicate(timeout=timeout)
             outs.append(out)
     except subprocess.TimeoutExpired:
         for p in procs:
@@ -79,7 +164,97 @@ def test_two_process_cluster_allgather(tmp_path):
         pytest.fail("distributed children timed out:\n" + "\n".join(outs))
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {pid} failed:\n{out}"
-        assert f"DIST_OK {pid}" in out, out
+        assert f"{ok_marker} {pid}" in out, out
+    return outs
+
+
+def test_two_process_train_step(tmp_path):
+    """The full sharded train step across a REAL 2-process cluster: each
+    process feeds its ProcessShardDataset slice, shard_batch assembles the
+    global batch, grads/stats pmean over Gloo; both replicas must see the
+    identical loss."""
+    outs = _run_two_process(_TRAIN_CHILD, tmp_path, "DIST_TRAIN_OK")
+    losses = [
+        float(line.split()[2])
+        for out in outs
+        for line in out.splitlines()
+        if line.startswith("DIST_TRAIN_OK")
+    ]
+    assert len(losses) == 2 and losses[0] == losses[1]
+
+
+def test_process_shard_dataset():
+    """Strided shards: disjoint before padding, together covering the
+    dataset, padded to equal length by wrapping."""
+
+    class DS:
+        def __len__(self):
+            return 7
+
+        def __getitem__(self, i):
+            return {"v": np.asarray([i])}
+
+    from fenet.parallel.distributed import ProcessShardDataset
+
+    s0 = ProcessShardDataset(DS(), process_index=0, process_count=2)
+    s1 = ProcessShardDataset(DS(), process_index=1, process_count=2)
+    assert len(s0) == len(s1) == 4  # ceil(7/2), s1 padded by wrap
+    v0 = [int(s0[i]["v"][0]) for i in range(len(s0))]
+    v1 = [int(s1[i]["v"][0]) for i in range(len(s1))]
+    assert v0 == [0, 2, 4, 6]
+    assert v1 == [1, 3, 5, 1]  # wraps around within its own shard
+    assert set(v0) | set(v1) == set(range(7))
+
+    with pytest.raises(ValueError):
+        ProcessShardDataset(DS(), process_index=2, process_count=2)
+    with pytest.raises(ValueError):
+
+        class Empty:
+            def __len__(self):
+                return 1
+
+            def __getitem__(self, i):  # pragma: no cover
+                return {}
+
+        ProcessShardDataset(Empty(), process_index=0, process_count=2)
+
+
+def test_process_shard_load_batch_forwarding():
+    """The native-decode fast path must see ORIGINAL dataset indices."""
+
+    class DS:
+        def __len__(self):
+            return 6
+
+        def __getitem__(self, i):  # pragma: no cover
+            raise AssertionError("load_batch path expected")
+
+        def load_batch(self, indices):
+            return {"idx": np.asarray(indices)}
+
+    from fenet.parallel.distributed import ProcessShardDataset
+
+    s1 = ProcessShardDataset(DS(), process_index=1, process_count=2)
+    got = s1.load_batch([0, 2])
+    np.testing.assert_array_equal(got["idx"], [1, 5])
+
+    class NoFast:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            return {"v": np.asarray([i])}
+
+    s = ProcessShardDataset(NoFast(), process_index=0, process_count=2)
+    assert s.load_batch([0]) is None  # loader falls back to __getitem__
+
+
+def test_local_batch_size():
+    from fenet.parallel.distributed import local_batch_size
+
+    assert local_batch_size(128, 4) == 32
+    with pytest.raises(ValueError):
+        local_batch_size(10, 4)
 
 
 def test_single_host_noop(monkeypatch):
