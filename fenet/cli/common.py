@@ -53,6 +53,11 @@ def add_common_args(parser: argparse.ArgumentParser):
                         default=[10, 30, 50],
                         help="epochs at which to validate + checkpoint "
                              "(reference: 10 30 50)")
+    parser.add_argument("--ckpt_format", type=str, default="flax",
+                        choices=("flax", "orbax"),
+                        help="checkpoint container: flax msgpack file "
+                             "(default) or orbax directory; loading "
+                             "auto-detects either")
     return parser
 
 
@@ -83,6 +88,7 @@ def config_from_args(opt) -> TrainConfig:
         emd_scale_phases=opt.emd_scale_phases,
         emd_scale_thresh=opt.emd_scale_thresh,
         validate_epochs=tuple(opt.validate_epochs),
+        ckpt_format=getattr(opt, "ckpt_format", "flax"),
     )
 
 

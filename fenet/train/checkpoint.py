@@ -1,9 +1,13 @@
 """Checkpoint save/load with the reference's directory + best-copy semantics,
 plus torch-format interop in both directions.
 
-Native format: flax msgpack bytes + JSON metadata sidecar, file
+Default format: flax msgpack bytes + JSON metadata sidecar, file
 ``{cat}_checkpoint_{epoch}.ckpt`` with a ``model_best.ckpt`` copy when both
-metrics improve (train.py:220-243). Torch interop: ``export_torch_checkpoint``
+metrics improve (train.py:220-243). ``fmt='orbax'`` instead writes an orbax
+PyTree checkpoint directory (``.orbax`` suffix, same JSON sidecar + best-copy
+semantics) — the TPU-ecosystem standard (SURVEY.md §5), useful when
+downstream tooling expects orbax layouts; ``load_checkpoint`` auto-detects
+either format from the path. Torch interop: ``export_torch_checkpoint``
 writes a ``.pth.tar`` the reference's own resume path can read;
 ``fenet.models.convert.load_torch_checkpoint`` covers the import direction.
 """
@@ -29,22 +33,7 @@ def _flatten(tree: Mapping, prefix=()) -> Dict[tuple, np.ndarray]:
     return out
 
 
-def save_checkpoint(
-    state: Dict[str, Any],
-    is_best: bool,
-    category: str,
-    ckpt_dir: str,
-    epoch: int,
-) -> str:
-    """Reference-compatible entry point (train.py:236-243).
-
-    ``state`` holds arbitrary pytrees (params/batch_stats/opt_state) plus
-    scalar metadata.
-    """
-    import flax.serialization
-
-    os.makedirs(ckpt_dir, exist_ok=True)
-    filename = os.path.join(ckpt_dir, f"{category}_checkpoint_{epoch}.ckpt")
+def _split_state(state: Dict[str, Any]):
     arrays = {
         k: jax.device_get(v)
         for k, v in state.items()
@@ -56,35 +45,120 @@ def save_checkpoint(
         for k, v in state.items()
         if isinstance(v, (int, float, str, bool, type(None)))
     }
-    with open(filename, "wb") as f:
-        f.write(flax.serialization.to_bytes(arrays))
+    return arrays, meta
+
+
+def save_checkpoint(
+    state: Dict[str, Any],
+    is_best: bool,
+    category: str,
+    ckpt_dir: str,
+    epoch: int,
+    fmt: str = "flax",
+) -> str:
+    """Reference-compatible entry point (train.py:236-243).
+
+    ``state`` holds arbitrary pytrees (params/batch_stats/opt_state) plus
+    scalar metadata. ``fmt`` picks the on-disk container: 'flax' msgpack
+    file (default) or an 'orbax' checkpoint directory.
+    """
+    os.makedirs(ckpt_dir, exist_ok=True)
+    arrays, meta = _split_state(state)
+    suffix = ".orbax" if fmt == "orbax" else ".ckpt"
+    filename = os.path.join(
+        ckpt_dir, f"{category}_checkpoint_{epoch}{suffix}"
+    )
+    if fmt == "orbax":
+        import orbax.checkpoint as ocp
+
+        if os.path.exists(filename):  # orbax refuses to overwrite
+            shutil.rmtree(filename)
+        with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
+            ckptr.save(os.path.abspath(filename), arrays)
+    elif fmt == "flax":
+        import flax.serialization
+
+        with open(filename, "wb") as f:
+            f.write(flax.serialization.to_bytes(arrays))
+    else:
+        raise ValueError(f"unknown checkpoint format {fmt!r}")
     with open(filename + ".json", "w") as f:
         json.dump(meta, f)
     if is_best:
-        best = os.path.join(ckpt_dir, "model_best.ckpt")
-        shutil.copyfile(filename, best)
+        best = os.path.join(ckpt_dir, f"model_best{suffix}")
+        if fmt == "orbax":
+            if os.path.exists(best):
+                shutil.rmtree(best)
+            shutil.copytree(filename, best)
+        else:
+            shutil.copyfile(filename, best)
         shutil.copyfile(filename + ".json", best + ".json")
     return filename
 
 
+def _graft(target, raw):
+    """Rebuild ``target``'s exact pytree types (dicts, tuples, optax
+    namedtuples) from an orbax raw restore, which returns plain
+    dicts/lists and ``None`` for empty nodes (e.g. optax EmptyState)."""
+    if raw is None:  # empty node — the target's placeholder is already right
+        return target
+    if isinstance(target, Mapping):
+        out = {k: _graft(v, raw[k]) for k, v in target.items()}
+        return out if isinstance(target, dict) else type(target)(out)
+    if isinstance(target, tuple):
+        if hasattr(target, "_fields"):  # namedtuple: raw is a field dict
+            return type(target)(
+                **{f: _graft(getattr(target, f), raw[f])
+                   for f in target._fields}
+            )
+        return type(target)(_graft(t, r) for t, r in zip(target, raw))
+    if isinstance(target, list):
+        return [_graft(t, r) for t, r in zip(target, raw)]
+    return np.asarray(raw)
+
+
 def load_checkpoint(path: str, target: Optional[Dict[str, Any]] = None):
     """Load a checkpoint; with ``target`` provided, restores exact pytree
-    structure (required for opt_state)."""
-    import flax.serialization
-
+    structure (required for opt_state). The format is auto-detected: an
+    orbax checkpoint is a directory, a flax msgpack checkpoint a file."""
     if not os.path.exists(path):
-        raise FileNotFoundError(
-            f"checkpoint not found: {path} — train the category first "
-            "(checkpoints are written at the validation epochs, default "
-            "10/30/50; see --validate_epochs) or point --model at the "
-            "right output directory"
-        )
-    with open(path, "rb") as f:
-        blob = f.read()
-    if target is not None:
-        arrays = flax.serialization.from_bytes(target, blob)
+        # The reference's best checkpoint may exist in the other container.
+        alt = (path[: -len(".orbax")] + ".ckpt") if path.endswith(".orbax") \
+            else (path[: -len(".ckpt")] + ".orbax" if path.endswith(".ckpt")
+                  else None)
+        if alt and os.path.exists(alt):
+            path = alt
+        else:
+            raise FileNotFoundError(
+                f"checkpoint not found: {path} — train the category first "
+                "(checkpoints are written at the validation epochs, default "
+                "10/30/50; see --validate_epochs) or point --model at the "
+                "right output directory"
+            )
+    if os.path.isdir(path):  # orbax container
+        import orbax.checkpoint as ocp
+
+        with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
+            raw = ckptr.restore(os.path.abspath(path))
+        if target is not None:
+            # Map the raw tree onto the target's exact structure (optax
+            # namedtuples etc.), allowing PARTIAL targets — the eval CLIs
+            # restore params/batch_stats without the saved opt_state.
+            arrays = {
+                k: _graft(v, raw[k]) if k in raw else v
+                for k, v in target.items()
+            }
+        else:
+            arrays = raw
     else:
-        arrays = flax.serialization.msgpack_restore(blob)
+        import flax.serialization
+
+        with open(path, "rb") as f:
+            blob = f.read()
+        if target is not None:
+            arrays = flax.serialization.from_bytes(target, blob)
+        else:
+            arrays = flax.serialization.msgpack_restore(blob)
     meta = {}
     if os.path.exists(path + ".json"):
         with open(path + ".json") as f:

@@ -57,6 +57,9 @@ class TrainConfig:
 
     # validation epochs (train.py:211)
     validate_epochs: Sequence[int] = (10, 30, 50)
+    # checkpoint container: 'flax' msgpack file (default) or 'orbax'
+    # directory (the TPU-ecosystem standard); loading auto-detects either.
+    ckpt_format: str = "flax"
     # eval-time ICP settings (testnet.py:63)
     eval_icp_iterations: int = 1024
     eval_icp_tolerance: float = 1e-10

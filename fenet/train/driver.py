@@ -155,7 +155,8 @@ def train_net(
     all_epoch_time = 0.0
     start_epoch = cfg.start_epoch
     if cfg.resume:
-        path = os.path.join(ckpt_dir, "model_best.ckpt")
+        suffix = ".orbax" if cfg.ckpt_format == "orbax" else ".ckpt"
+        path = os.path.join(ckpt_dir, f"model_best{suffix}")
         blob = load_checkpoint(
             path,
             target={
@@ -228,7 +229,7 @@ def train_net(
                         ),
                         "train_time": all_epoch_time,
                     },
-                    is_best, cat, ckpt_dir, epoch,
+                    is_best, cat, ckpt_dir, epoch, fmt=cfg.ckpt_format,
                 )
             history[-1]["val"] = summary
 

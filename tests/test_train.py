@@ -124,6 +124,46 @@ def test_checkpoint_roundtrip(tmp_path, trained):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+def test_orbax_checkpoint_roundtrip(tmp_path, trained):
+    """fmt='orbax' writes a directory container with the same best-copy +
+    JSON-sidecar semantics; load_checkpoint auto-detects it and restores
+    the exact pytree structure (incl. optax namedtuple state). A flax-suffix
+    path falls back to the orbax container so the eval CLIs work unchanged
+    on orbax-trained runs."""
+    trainer, state, _, _, _, _ = trained
+    ckpt_dir = str(tmp_path)
+    payload = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "epoch": 4,
+        "train_time": 2.5,
+    }
+    fn = save_checkpoint(payload, True, "cat", ckpt_dir, 4, fmt="orbax")
+    assert os.path.isdir(fn)
+    assert os.path.isdir(os.path.join(ckpt_dir, "model_best.orbax"))
+    target = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+    }
+    restored = load_checkpoint(
+        os.path.join(ckpt_dir, "model_best.orbax"), target=target
+    )
+    assert restored["epoch"] == 4 and restored["train_time"] == 2.5
+    assert jax.tree_util.tree_structure(
+        restored["opt_state"]
+    ) == jax.tree_util.tree_structure(state.opt_state)
+    for x, y in zip(
+        jax.tree_util.tree_leaves(state.params),
+        jax.tree_util.tree_leaves(restored["params"]),
+    ):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # flax-suffix path -> orbax container fallback (eval CLI compatibility)
+    via_alt = load_checkpoint(os.path.join(ckpt_dir, "model_best.ckpt"))
+    assert via_alt["epoch"] == 4
+
+
 def test_torch_checkpoint_roundtrip(tmp_path, trained):
     """fenet -> .pth.tar -> fenet must be the identity on the generator."""
     torch = pytest.importorskip("torch")
