@@ -33,6 +33,12 @@ def add_common_args(parser: argparse.ArgumentParser):
     # fenet extensions
     parser.add_argument("--backbone", type=str, default="RepVGG-A2")
     parser.add_argument("--pretrained_backbone", type=str, default=None)
+    parser.add_argument("--fine_width", type=int, default=512,
+                        help="decoder fine-head per-point channels "
+                             "(reference: 512)")
+    parser.add_argument("--mid_width", type=int, default=128,
+                        help="decoder mid-head per-point channels "
+                             "(reference: 128)")
     parser.add_argument("--data_parallel", type=int, default=1,
                         help="devices in the batch mesh axis")
     parser.add_argument("--model_parallel", type=int, default=1,
@@ -81,6 +87,8 @@ def config_from_args(opt) -> TrainConfig:
         data_dir_pcl=opt.data_dir_pcl,
         backbone=opt.backbone,
         pretrained_backbone=opt.pretrained_backbone,
+        fine_width=getattr(opt, "fine_width", 512),
+        mid_width=getattr(opt, "mid_width", 128),
         data_parallel=opt.data_parallel,
         model_parallel=opt.model_parallel,
         emd_eps=opt.emd_eps,

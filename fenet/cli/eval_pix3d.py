@@ -38,6 +38,10 @@ def main(argv=None):
                         default="./output/fenet/%s/checkpoints/")
     parser.add_argument("--data_dir", type=str, default="./data/pix3d/")
     parser.add_argument("--backbone", type=str, default="RepVGG-A2")
+    parser.add_argument("--fine_width", type=int, default=512,
+                        help="decoder fine-head per-point channels")
+    parser.add_argument("--mid_width", type=int, default=128,
+                        help="decoder mid-head per-point channels")
     parser.add_argument("--cats", nargs="*",
                         default=["sofa", "table", "chair"])
     parser.add_argument("--icp_iters", type=int, default=1024)
@@ -51,7 +55,8 @@ def main(argv=None):
     opt = parser.parse_args(argv)
     print(opt)
 
-    gen = Generator(num_points=opt.num_points, backbone=opt.backbone)
+    gen = Generator(num_points=opt.num_points, backbone=opt.backbone,
+                    fine_width=opt.fine_width, mid_width=opt.mid_width)
     results = {}
     for cat in opt.cats:
         ckpt_dir = opt.model % PIX3D_TO_SHAPENET[cat]

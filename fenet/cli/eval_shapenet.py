@@ -31,6 +31,10 @@ def main(argv=None):
     parser.add_argument("--data_dir_pcl", type=str,
                         default="./data/shapenet/ShapeNet_pointclouds/")
     parser.add_argument("--backbone", type=str, default="RepVGG-A2")
+    parser.add_argument("--fine_width", type=int, default=512,
+                        help="decoder fine-head per-point channels")
+    parser.add_argument("--mid_width", type=int, default=128,
+                        help="decoder mid-head per-point channels")
     parser.add_argument("--cats", nargs="*", default=ALL_CATS)
     parser.add_argument("--no_icp", action="store_true")
     parser.add_argument("--icp_iters", type=int, default=1024)
@@ -46,7 +50,8 @@ def main(argv=None):
     opt = parser.parse_args(argv)
     print(opt)
 
-    gen = Generator(num_points=opt.num_points, backbone=opt.backbone)
+    gen = Generator(num_points=opt.num_points, backbone=opt.backbone,
+                    fine_width=opt.fine_width, mid_width=opt.mid_width)
     val_models = load_split(opt.splits_path, "val_models.json")
     results = {}
     for cat in opt.cats:

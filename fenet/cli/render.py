@@ -29,6 +29,10 @@ def main(argv=None):
     parser.add_argument("--data_dir_pcl", type=str,
                         default="./data/shapenet/ShapeNet_pointclouds/")
     parser.add_argument("--backbone", type=str, default="RepVGG-A2")
+    parser.add_argument("--fine_width", type=int, default=512,
+                        help="decoder fine-head per-point channels")
+    parser.add_argument("--mid_width", type=int, default=128,
+                        help="decoder mid-head per-point channels")
     parser.add_argument("--out_dir", type=str, default="./renders/")
     parser.add_argument("--n_samples", type=int, default=8)
     parser.add_argument("--deploy", action="store_true",
@@ -36,7 +40,8 @@ def main(argv=None):
                              "(numerically equivalent, faster forward)")
     opt = parser.parse_args(argv)
 
-    gen = Generator(num_points=opt.num_points, backbone=opt.backbone)
+    gen = Generator(num_points=opt.num_points, backbone=opt.backbone,
+                    fine_width=opt.fine_width, mid_width=opt.mid_width)
     sample = np.zeros((1, 128, 128, 3), np.float32)
     variables = gen.init(jax.random.PRNGKey(0), sample, train=False)
     blob = load_checkpoint(

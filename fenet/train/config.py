@@ -36,6 +36,12 @@ class TrainConfig:
     # model
     backbone: str = "RepVGG-A2"
     pretrained_backbone: Optional[str] = None  # RepVGG-A2-train.pth path
+    # per-point channel widths of the decoder's fine/mid heads (reference
+    # hardcodes 512/128, …_cmlp.py:244-329); smaller values give a
+    # structure-identical generator at a fraction of the 134M-param fc1_1 —
+    # used by fast tests and available for architecture sweeps.
+    fine_width: int = 512
+    mid_width: int = 128
 
     # EMD operator settings (loss/loss.py:23)
     emd_eps: float = 0.05

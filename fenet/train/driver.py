@@ -132,7 +132,10 @@ def train_net(
         logger = logging.getLogger(f"fenet.worker{jax.process_index()}")
         train_writer = None
 
-    gen = model or Generator(num_points=cfg.num_points, backbone=cfg.backbone)
+    gen = model or Generator(
+        num_points=cfg.num_points, backbone=cfg.backbone,
+        fine_width=cfg.fine_width, mid_width=cfg.mid_width,
+    )
     trainer = Trainer(gen, cfg, loss_mode=loss_mode)
     sample = np.zeros((1, 128, 128, 3), np.float32)
     state = trainer.init_state(jax.random.PRNGKey(cfg.manual_seed), sample)

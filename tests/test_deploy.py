@@ -1,4 +1,8 @@
-"""Full-generator deploy fold: branched eval == folded deploy forward."""
+"""Full-generator deploy fold: branched eval == folded deploy forward.
+
+Width-scaled decoders: the fold touches only conv+BN pairs (backbone/edge);
+the decoder passes through unchanged, so narrow heads cover the identical
+fold code path at a fraction of the single-core cost."""
 
 import jax
 import jax.numpy as jnp
@@ -10,7 +14,8 @@ from fenet.models.generator import Generator, fold_generator_params
 def test_generator_deploy_fold_equivalence():
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.rand(2, 128, 128, 3) * 255, jnp.float32)
-    gen = Generator(num_points=1024, backbone="RepVGG-TEST")
+    gen = Generator(num_points=1024, backbone="RepVGG-TEST",
+                    fine_width=64, mid_width=32)
     variables = gen.init(jax.random.PRNGKey(0), x[:1], train=False)
 
     # randomize BN stats so the fold is non-trivial
@@ -33,7 +38,8 @@ def test_generator_deploy_fold_equivalence():
     folded = fold_generator_params(
         variables["params"], variables["batch_stats"]
     )
-    deploy = Generator(num_points=1024, backbone="RepVGG-TEST", deploy=True)
+    deploy = Generator(num_points=1024, backbone="RepVGG-TEST", deploy=True,
+                       fine_width=64, mid_width=32)
     got = deploy.apply({"params": folded}, x, train=False)
     for a, b in zip(ref, got):
         np.testing.assert_allclose(
@@ -52,7 +58,8 @@ def test_to_deploy_through_eval_step():
     rng = np.random.RandomState(1)
     images = (rng.rand(2, 128, 128, 3) * 255).astype(np.uint8)
     points = rng.rand(2, 256, 3).astype(np.float32)
-    gen = Generator(num_points=256, backbone="RepVGG-TEST")
+    gen = Generator(num_points=256, backbone="RepVGG-TEST",
+                    fine_width=64, mid_width=32)
     variables = gen.init(
         jax.random.PRNGKey(0), np.zeros((1, 128, 128, 3), np.float32),
         train=False,

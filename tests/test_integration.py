@@ -33,6 +33,13 @@ def trained(workdir):
         eval_icp_iterations=8,
         eval_emd_iters=5,
         backbone="RepVGG-TEST",
+        # Width-scaled decoder: structure-identical cascade at a fraction of
+        # the default 134M-param fc1_1 — the full-width decoder cost this
+        # suite ~25s per checkpoint save and ~60s per resume load on the
+        # 1-core sandbox. Full-width coverage lives in the parity tests
+        # (test_torch_parity, test_reference_parity).
+        fine_width=32,
+        mid_width=16,
         # 2-device mesh: same shard_map/pmean semantics as 8 at ~1/8 the
         # single-core emulation cost; 8-device coverage lives in
         # test_train_step_full_8dev_mesh + the driver's dryrun_multichip.
@@ -66,6 +73,7 @@ def test_eval_cli_on_trained_checkpoint(workdir, trained):
         "--data_dir_imgs", os.path.join(workdir, "ShapeNetRendering") + "/",
         "--data_dir_pcl", os.path.join(workdir, "ShapeNet_pointclouds") + "/",
         "--backbone", "RepVGG-TEST",
+        "--fine_width", "32", "--mid_width", "16",
         "--batchSize", "16",
         "--icp_iters", "8",
         "--emd_iters", "5",
@@ -95,6 +103,7 @@ def test_render_cli(workdir, trained):
         "--data_dir_imgs", os.path.join(workdir, "ShapeNetRendering") + "/",
         "--data_dir_pcl", os.path.join(workdir, "ShapeNet_pointclouds") + "/",
         "--backbone", "RepVGG-TEST",
+        "--fine_width", "32", "--mid_width", "16",
         "--out_dir", out_dir,
         "--n_samples", "1",
     ])
@@ -110,6 +119,7 @@ def test_render_cli(workdir, trained):
         "--data_dir_imgs", os.path.join(workdir, "ShapeNetRendering") + "/",
         "--data_dir_pcl", os.path.join(workdir, "ShapeNet_pointclouds") + "/",
         "--backbone", "RepVGG-TEST",
+        "--fine_width", "32", "--mid_width", "16",
         "--out_dir", dep_dir,
         "--n_samples", "1",
         "--deploy",

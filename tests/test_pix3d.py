@@ -68,7 +68,8 @@ def test_render_pix3d_cli(pix3d_root, tmp_path):
     from fenet.train.checkpoint import save_checkpoint
 
     # fabricate a model_best.ckpt for the chair -> 03001627 mapping
-    gen = Generator(num_points=1024, backbone="RepVGG-TEST")
+    gen = Generator(num_points=1024, backbone="RepVGG-TEST",
+                    fine_width=64, mid_width=32)
     variables = gen.init(
         jax.random.PRNGKey(0), np.zeros((1, 128, 128, 3), np.float32),
         train=False,
@@ -86,6 +87,7 @@ def test_render_pix3d_cli(pix3d_root, tmp_path):
         "--model", os.path.join(str(tmp_path), "out", "%s", "checkpoints"),
         "--data_dir", pix3d_root,
         "--backbone", "RepVGG-TEST",
+        "--fine_width", "64", "--mid_width", "32",
         "--out_dir", out_dir,
         "--n_samples", "1",
     ])
@@ -104,7 +106,8 @@ def test_cam_overlay_writer(tmp_path):
     from fenet.models.generator import Generator
     from fenet.viz.gradcam import save_cam_overlay
 
-    gen = Generator(num_points=1024, backbone="RepVGG-TEST")
+    gen = Generator(num_points=1024, backbone="RepVGG-TEST",
+                    fine_width=64, mid_width=32)
     img = np.random.RandomState(0).rand(1, 128, 128, 3).astype(np.float32)
     img *= 255
     variables = gen.init(jax.random.PRNGKey(0), img[:1], train=False)
