@@ -135,6 +135,31 @@ _TRAIN_CHILD = textwrap.dedent(
     both = multihost_utils.process_allgather(np.asarray([loss]))
     np.testing.assert_allclose(np.asarray(both).ravel(), loss, rtol=0)
     print(f"DIST_TRAIN_OK {{pid}} {{loss}}", flush=True)
+
+    # Multi-host eval: each process feeds its dataset shard through the
+    # shard_map'd eval step on the cross-process mesh; the metric outputs
+    # are NOT fully addressable, so evaluate_dataset must read back only the
+    # local shards and allgather the partial sums — both replicas must
+    # report the identical global summary over all 6 samples.
+    from fenet.data.loader import DataLoader
+    from fenet.eval.runner import evaluate_dataset
+
+    variables = {{"params": state2.params, "batch_stats": state2.batch_stats}}
+    loader = DataLoader(shard, batch_size=1, prefetch=0)
+    _, _, summary = evaluate_dataset(
+        model, variables, loader, mesh=mesh,
+        icp_iterations=4, emd_iters=2,
+    )
+    assert summary["samples"] == 6, summary
+    assert np.isfinite(summary["ChamferDistance"])
+    cds = multihost_utils.process_allgather(
+        np.asarray([summary["ChamferDistance"]])
+    )
+    # rtol=1e-6: the gather casts the float64 summary (f32 total / n) back
+    # to f32; replica AGREEMENT is still exact (parent checks cds[0]==cds[1]).
+    np.testing.assert_allclose(np.asarray(cds).ravel(),
+                               summary["ChamferDistance"], rtol=1e-6)
+    print(f"DIST_EVAL_OK {{pid}} {{summary['ChamferDistance']}}", flush=True)
     """
 )
 
@@ -169,11 +194,12 @@ def _run_two_process(script_body: str, tmp_path, ok_marker: str,
 
 
 def test_two_process_train_step(tmp_path):
-    """The full sharded train step across a REAL 2-process cluster: each
-    process feeds its ProcessShardDataset slice, shard_batch assembles the
-    global batch, grads/stats pmean over Gloo; both replicas must see the
-    identical loss."""
-    outs = _run_two_process(_TRAIN_CHILD, tmp_path, "DIST_TRAIN_OK")
+    """The full sharded train + eval steps across a REAL 2-process cluster:
+    each process feeds its ProcessShardDataset slice, shard_batch assembles
+    the global batch, grads/stats pmean over Gloo; both replicas must see
+    the identical loss, and evaluate_dataset the identical allgathered
+    global summary from non-fully-addressable metric outputs."""
+    outs = _run_two_process(_TRAIN_CHILD, tmp_path, "DIST_EVAL_OK")
     losses = [
         float(line.split()[2])
         for out in outs
@@ -181,6 +207,13 @@ def test_two_process_train_step(tmp_path):
         if line.startswith("DIST_TRAIN_OK")
     ]
     assert len(losses) == 2 and losses[0] == losses[1]
+    cds = [
+        float(line.split()[2])
+        for out in outs
+        for line in out.splitlines()
+        if line.startswith("DIST_EVAL_OK")
+    ]
+    assert len(cds) == 2 and cds[0] == cds[1]
 
 
 def test_process_shard_dataset():

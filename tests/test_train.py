@@ -58,12 +58,12 @@ def trained():
     cfg = _tiny_config()
     # Width-scaled decoder + 256 points: the default fine head alone is 134M
     # params, and every fixture consumer (3 train steps here, checkpoint
-    # save/load, torch export) pays for it again on this 1-core sandbox
-    # (~260s of suite wall time measured). The code paths are identical at
-    # fine_width=64; full-width decoders are exercised where the width
-    # matters — reference-parity and integration tests.
+    # save/load x3 formats, torch export) pays for it again on this 1-core
+    # sandbox (~100s of suite wall time measured at fine_width=64). The code
+    # paths are identical at any width; full-width decoders are exercised
+    # where the width matters — reference-parity and model-shape tests.
     gen = Generator(num_points=256, backbone=cfg.backbone,
-                    fine_width=64, mid_width=32)
+                    fine_width=32, mid_width=16)
     trainer = Trainer(gen, cfg)
     rng = np.random.RandomState(0)
     state = trainer.init_state(
