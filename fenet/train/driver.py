@@ -110,8 +110,11 @@ def train_net(
 
         batch_size = local_batch_size(cfg.batch_size, n_proc)
         train_ds = ProcessShardDataset(train_ds)
-        if len(val_ds):
+        if len(val_ds) >= n_proc:
             val_ds = ProcessShardDataset(val_ds)
+        # else: every process feeds the full val set — the global batch then
+        # holds n_proc copies of each sample, which leaves the metric
+        # *averages* exact (sums and counts scale together).
     train_loader = DataLoader(
         train_ds, batch_size, shuffle=True, drop_last=True,
         seed=cfg.manual_seed,
