@@ -127,6 +127,27 @@ def test_render_cli(workdir, trained):
     assert os.path.exists(os.path.join(dep_dir, f"{CAT}_000.png"))
 
 
+def test_heatmap_cli(workdir, trained):
+    """Grad-CAM overlay PNGs from the heatmap CLI against the trained
+    checkpoint (models/heatmap.py driver equivalent)."""
+    from fenet.cli.heatmap import main
+
+    out_dir = os.path.join(workdir, "heatmaps")
+    main([
+        "--category", CAT,
+        "--model", os.path.join(workdir, "output", "%s", "checkpoints") + "/",
+        "--splits_path", os.path.join(workdir, "splits"),
+        "--data_dir_imgs", os.path.join(workdir, "ShapeNetRendering") + "/",
+        "--data_dir_pcl", os.path.join(workdir, "ShapeNet_pointclouds") + "/",
+        "--backbone", "RepVGG-TEST",
+        "--fine_width", "32", "--mid_width", "16",
+        "--out_dir", out_dir,
+        "--n_samples", "1",
+    ])
+    png = os.path.join(out_dir, f"{CAT}_000_cam.png")
+    assert os.path.exists(png) and os.path.getsize(png) > 0
+
+
 def test_prepare_data_cli(workdir):
     from fenet.cli.prepare_data import main
 
