@@ -157,8 +157,6 @@ def evaluate_dataset(
     if mesh_procs > 1:  # combine the per-process partial sums
         from jax.experimental import multihost_utils
 
-        import numpy as np
-
         totals = multihost_utils.process_allgather(
             np.asarray([emd_sum, cd_sum, float(n_samples)])
         ).sum(axis=0)

@@ -73,8 +73,10 @@ class ProcessShardDataset:
 
     Every process must run the *same number* of steps per epoch (each step is
     a cross-host collective), so shards are padded to equal length by
-    wrapping around within the shard — at most one duplicate sample per
-    process per epoch, the standard distributed-sampler trade.
+    wrapping around — at most one duplicate sample per process per epoch,
+    the standard distributed-sampler trade. (Metric counts downstream tally
+    evaluations performed, duplicates included.) A dataset smaller than the
+    process count degenerates to one wrapped sample per process.
 
     Forwards the optional ``load_batch`` fast path (native C++ batch decode,
     fenet.data.shapenet) through the index mapping.
@@ -89,13 +91,13 @@ class ProcessShardDataset:
         if not 0 <= pi < pc:
             raise ValueError(f"process_index {pi} out of range for {pc}")
         n = len(dataset)
-        if n < pc:
-            raise ValueError(
-                f"dataset of {n} samples cannot shard over {pc} processes"
-            )
+        if n == 0:
+            raise ValueError(f"cannot shard an empty dataset over {pc}")
         idx = np.arange(pi, n, pc)
-        target = -(-n // pc)  # ceil: longest shard's length
-        if len(idx) < target:
+        if len(idx) == 0:  # more processes than samples
+            idx = np.asarray([pi % n])
+        target = max(-(-n // pc), 1)  # ceil: longest shard's length
+        if len(idx) < target:  # pad by wrapping within the shard
             idx = np.concatenate([idx, idx[: target - len(idx)]])
         self.dataset = dataset
         self._indices = idx

@@ -33,9 +33,20 @@ def _flatten(tree: Mapping, prefix=()) -> Dict[tuple, np.ndarray]:
     return out
 
 
+def _fetch(leaf):
+    """Host copy of a leaf; arrays sharded across *other hosts* (multi-host
+    tensor parallelism) are re-assembled with an allgather first —
+    ``device_get`` alone raises on non-addressable shards."""
+    if getattr(leaf, "is_fully_addressable", True):
+        return jax.device_get(leaf)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(leaf, tiled=True))
+
+
 def _split_state(state: Dict[str, Any]):
     arrays = {
-        k: jax.device_get(v)
+        k: jax.tree_util.tree_map(_fetch, v)
         for k, v in state.items()
         if not isinstance(v, (int, float, str, bool, type(None), dict))
         or isinstance(v, dict)

@@ -108,13 +108,28 @@ def train_net(
             local_batch_size,
         )
 
+        if cfg.model_parallel > 1:
+            raise NotImplementedError(
+                "multi-host + tensor parallelism: checkpointing of params "
+                "sharded across hosts is untested — run tp within one host "
+                "or multi-host dp-only"
+            )
+        if cfg.data_parallel == 1:
+            # The mesh must span every process (each train step is a
+            # cross-host collective); the single-process default would
+            # build a host-0-only mesh and strand the workers.
+            cfg.data_parallel = jax.device_count()
+        elif cfg.data_parallel != jax.device_count():
+            raise ValueError(
+                f"multi-host training needs the mesh to cover all "
+                f"{jax.device_count()} devices across {n_proc} processes; "
+                f"got --data_parallel {cfg.data_parallel} (leave it at 1 "
+                "to auto-size)"
+            )
         batch_size = local_batch_size(cfg.batch_size, n_proc)
         train_ds = ProcessShardDataset(train_ds)
-        if len(val_ds) >= n_proc:
+        if len(val_ds):
             val_ds = ProcessShardDataset(val_ds)
-        # else: every process feeds the full val set — the global batch then
-        # holds n_proc copies of each sample, which leaves the metric
-        # *averages* exact (sums and counts scale together).
     train_loader = DataLoader(
         train_ds, batch_size, shuffle=True, drop_last=True,
         seed=cfg.manual_seed,
@@ -129,7 +144,9 @@ def train_net(
         os.makedirs(ckpt_dir, exist_ok=True)
         logger = get_logger(os.path.join(ckpt_dir, "logging.log"))
         train_writer = MetricWriter(os.path.join(log_dir, "train"))
-    else:  # workers: console only, no checkpoint/log/scalar files
+    else:  # workers: silent except warnings (handler-less logger), no
+        # checkpoint/log/scalar files — per-batch progress is identical
+        # across replicas, so process 0's stream tells the whole story.
         import logging
 
         logger = logging.getLogger(f"fenet.worker{jax.process_index()}")
@@ -163,14 +180,34 @@ def train_net(
     if cfg.resume:
         suffix = ".orbax" if cfg.ckpt_format == "orbax" else ".ckpt"
         path = os.path.join(ckpt_dir, f"model_best{suffix}")
-        blob = load_checkpoint(
-            path,
-            target={
-                "params": state.params,
-                "batch_stats": state.batch_stats,
-                "opt_state": state.opt_state,
-            },
-        )
+        target = {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+        }
+        if n_proc > 1:
+            # Only process 0 writes checkpoints, and dir_path may be
+            # host-local — load there and broadcast, so resume works
+            # without a shared filesystem.
+            from jax.experimental import multihost_utils
+
+            if primary:
+                blob = load_checkpoint(path, target=target)
+                meta = np.asarray(
+                    [float(blob.get("epoch", 0)),
+                     float(blob.get("train_time", 0.0))], np.float32,
+                )
+            else:
+                blob = target
+                meta = np.zeros(2, np.float32)
+            arrays = multihost_utils.broadcast_one_to_all(
+                {k: blob[k] for k in ("params", "batch_stats", "opt_state")}
+            )
+            meta = multihost_utils.broadcast_one_to_all(meta)
+            blob = {**arrays, "epoch": int(meta[0]),
+                    "train_time": float(meta[1])}
+        else:
+            blob = load_checkpoint(path, target=target)
         state = state.replace(
             params=blob["params"], batch_stats=blob["batch_stats"],
             opt_state=blob["opt_state"],

@@ -240,15 +240,28 @@ def test_process_shard_dataset():
 
     with pytest.raises(ValueError):
         ProcessShardDataset(DS(), process_index=2, process_count=2)
+
+    # Fewer samples than processes: degenerate one-wrapped-sample shards
+    # (every process still runs the same step count).
+    class One:
+        def __len__(self):
+            return 1
+
+        def __getitem__(self, i):
+            return {"v": np.asarray([i])}
+
+    for pi in range(3):
+        s = ProcessShardDataset(One(), process_index=pi, process_count=3)
+        assert len(s) == 1 and int(s[0]["v"][0]) == 0
+
+    class Empty:
+        def __len__(self):
+            return 0
+
+        def __getitem__(self, i):  # pragma: no cover
+            return {}
+
     with pytest.raises(ValueError):
-
-        class Empty:
-            def __len__(self):
-                return 1
-
-            def __getitem__(self, i):  # pragma: no cover
-                return {}
-
         ProcessShardDataset(Empty(), process_index=0, process_count=2)
 
 
