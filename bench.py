@@ -269,13 +269,87 @@ def run_reference_structured(model, variables, batches, n_samples=48):
     return len(flat) / wall, wall
 
 
-def main():
+def run_stage_bench(model, variables, batch=48, reps=10):
+    """Per-stage eval-cycle breakdown (the docs/DESIGN.md §1 numbers):
+    ms/image for A2 forward, batched ICP, EMD(0.005, 50), chamfer — each
+    jitted separately with forced fetches. Where the cycles go, measured."""
+    import jax
+    import jax.numpy as jnp
+
+    from fenet.eval.metrics import EVAL_EMD_EPS, EVAL_EMD_ITERS
+    from fenet.geometry.icp import align_pred_to_gt
+    from fenet.ops.chamfer import chamfer_distance
+    from fenet.ops.emd import earth_mover_distance
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(
+        (rng.rand(batch, 128, 128, 3) * 255).astype(np.uint8)
+    )
+    points = jnp.asarray(rng.rand(batch, 1024, 3).astype(np.float32) * 0.9)
+
+    @jax.jit
+    def fwd(v, img):
+        _, _, pc3 = model.apply(v, img.astype(jnp.float32), train=False)
+        return pc3
+
+    @jax.jit
+    def icp(pred, gt):
+        return align_pred_to_gt(pred, gt, max_iterations=1024,
+                                tolerance=1e-10, stall_patience=32)
+
+    @jax.jit
+    def emd(pred, gt):
+        d, _ = earth_mover_distance(pred, gt, EVAL_EMD_EPS, EVAL_EMD_ITERS)
+        return d
+
+    @jax.jit
+    def cham(pred, gt):
+        d1, d2, _, _ = chamfer_distance(pred, gt)
+        return d1, d2
+
+    pred = fwd(variables, images)
+    aligned = icp(pred, points)
+    _retry(lambda: np.asarray(emd(aligned, points)))
+    np.asarray(jax.tree_util.tree_leaves(cham(aligned, points))[0])
+
+    def timed(fn, *args):
+        np.asarray(jax.tree_util.tree_leaves(fn(*args))[0])  # warm
+        t0 = time.time()
+        for _ in range(reps):
+            out = fn(*args)
+        np.asarray(jax.tree_util.tree_leaves(out)[0])  # forced drain
+        return (time.time() - t0) / reps / batch * 1000.0
+
+    return {
+        "batch": batch,
+        "forward_ms_per_image": round(timed(fwd, variables, images), 4),
+        "icp_ms_per_image": round(timed(icp, pred, points), 4),
+        "emd_ms_per_image": round(timed(emd, aligned, points), 4),
+        "chamfer_ms_per_image": round(timed(cham, aligned, points), 4),
+    }
+
+
+def main(argv=None):
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--stages", action="store_true",
+                        help="print the per-stage eval-cycle breakdown "
+                             "instead of the headline metric")
+    opt = parser.parse_args(argv)
+
     from fenet.utils.compilation_cache import enable
 
     enable()  # big fused steps compile once per machine
     from fenet.parallel.mesh import make_mesh
 
     model, variables = _build_model_and_state()
+    if opt.stages:
+        print(json.dumps(
+            {"metric": "eval_stage_breakdown",
+             "detail": run_stage_bench(model, variables)}
+        ))
+        return
     batches = _synthetic_eval_batches()
     mesh = make_mesh(1)
 

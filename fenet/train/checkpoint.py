@@ -34,10 +34,15 @@ def _flatten(tree: Mapping, prefix=()) -> Dict[tuple, np.ndarray]:
 
 
 def _fetch(leaf):
-    """Host copy of a leaf; arrays sharded across *other hosts* (multi-host
-    tensor parallelism) are re-assembled with an allgather first —
-    ``device_get`` alone raises on non-addressable shards."""
-    if getattr(leaf, "is_fully_addressable", True):
+    """Host copy of a leaf. Fully-replicated multi-process arrays (the dp
+    state) read straight off the local replica; arrays actually SHARDED
+    across other hosts (multi-host tensor parallelism) are re-assembled
+    with an allgather — ``device_get`` alone raises on those. NB the
+    allgather is a collective: callers on that path must invoke
+    save_checkpoint from every process."""
+    if getattr(leaf, "is_fully_addressable", True) or getattr(
+        leaf, "is_fully_replicated", False
+    ):
         return jax.device_get(leaf)
     from jax.experimental import multihost_utils
 

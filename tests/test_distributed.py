@@ -98,7 +98,7 @@ _TRAIN_CHILD = textwrap.dedent(
             return 6
         def __getitem__(self, i):
             rng = np.random.RandomState(i)
-            return {{"image": (rng.rand(32, 32, 3) * 255).astype(np.uint8),
+            return {{"image": (rng.rand(128, 128, 3) * 255).astype(np.uint8),
                      "points": rng.rand(256, 3).astype(np.float32)}}
 
     shard = ProcessShardDataset(TinyDS())
@@ -113,7 +113,7 @@ _TRAIN_CHILD = textwrap.dedent(
     trainer = Trainer(model, cfg, mesh=mesh)
     # Identical seed on both processes -> identical replicated params.
     state = trainer.init_state(
-        jax.random.PRNGKey(0), np.zeros((1, 32, 32, 3), np.float32)
+        jax.random.PRNGKey(0), np.zeros((1, 128, 128, 3), np.float32)
     )
 
     sample = shard[0]
@@ -160,6 +160,37 @@ _TRAIN_CHILD = textwrap.dedent(
     np.testing.assert_allclose(np.asarray(cds).ravel(),
                                summary["ChamferDistance"], rtol=1e-6)
     print(f"DIST_EVAL_OK {{pid}} {{summary['ChamferDistance']}}", flush=True)
+
+    # The REAL driver end to end: train_net must broadcast the seed, auto-
+    # size the mesh (data_parallel left at 1), shard the loaders, validate
+    # + checkpoint on process 0 only, then RESUME by broadcasting process
+    # 0's checkpoint (no shared-filesystem assumption). Same model config
+    # as above -> the jitted steps are already compiled.
+    import dataclasses
+
+    from fenet.train.driver import train_net
+
+    out_dir = sys.argv[3]
+    cfg3 = TrainConfig(
+        batch_size=2, nepoch=1, validate_epochs=(1,), emd_iters=2,
+        eval_icp_iterations=4, eval_emd_iters=2, backbone="RepVGG-TEST",
+        fine_width=32, mid_width=16, num_points=256,
+        dir_path=out_dir,
+    )
+    res = train_net("distcat", cfg3, train_ds=TinyDS(), val_ds=TinyDS())
+    assert res["history"][0]["val"]["samples"] == 6  # 2 procs x 3-shard
+    best = os.path.join(res["ckpt_dir"], "model_best.ckpt")
+    if pid == 0:
+        assert os.path.exists(best), best
+    cfg4 = dataclasses.replace(cfg3, resume=True, nepoch=2,
+                               validate_epochs=())
+    res2 = train_net("distcat", cfg4, train_ds=TinyDS(), val_ds=TinyDS())
+    assert res2["history"][0]["epoch"] == 2  # resumed past epoch 1
+    cd2 = res2["history"][0]["chamfer_loss"]
+    got = multihost_utils.process_allgather(np.asarray([cd2], np.float32))
+    np.testing.assert_allclose(np.asarray(got).ravel(),
+                               np.float32(cd2), rtol=1e-6)
+    print(f"DIST_DRIVER_OK {{pid}}", flush=True)
     """
 )
 
@@ -169,10 +200,11 @@ def _run_two_process(script_body: str, tmp_path, ok_marker: str,
     script = tmp_path / "child.py"
     script.write_text(script_body.format(repo=REPO))
     coord = f"127.0.0.1:{_free_port()}"
+    out_dir = str(tmp_path / "out") + "/"
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
     procs = [
         subprocess.Popen(
-            [sys.executable, str(script), str(pid), coord],
+            [sys.executable, str(script), str(pid), coord, out_dir],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env, cwd=REPO,
         )
@@ -198,8 +230,10 @@ def test_two_process_train_step(tmp_path):
     each process feeds its ProcessShardDataset slice, shard_batch assembles
     the global batch, grads/stats pmean over Gloo; both replicas must see
     the identical loss, and evaluate_dataset the identical allgathered
-    global summary from non-fully-addressable metric outputs."""
-    outs = _run_two_process(_TRAIN_CHILD, tmp_path, "DIST_EVAL_OK")
+    global summary from non-fully-addressable metric outputs. Then the REAL
+    train_net driver: seed broadcast, mesh auto-size, process-0-only
+    checkpointing, and resume-by-broadcast."""
+    outs = _run_two_process(_TRAIN_CHILD, tmp_path, "DIST_DRIVER_OK")
     losses = [
         float(line.split()[2])
         for out in outs
