@@ -307,10 +307,14 @@ def run_stage_bench(model, variables, batch=48, reps=10):
         d1, d2, _, _ = chamfer_distance(pred, gt)
         return d1, d2
 
-    pred = fwd(variables, images)
-    aligned = icp(pred, points)
+    pred = _retry(lambda: fwd(variables, images))
+    aligned = _retry(lambda: icp(pred, points))
     _retry(lambda: np.asarray(emd(aligned, points)))
-    np.asarray(jax.tree_util.tree_leaves(cham(aligned, points))[0])
+    _retry(
+        lambda: np.asarray(
+            jax.tree_util.tree_leaves(cham(aligned, points))[0]
+        )
+    )
 
     def timed(fn, *args):
         np.asarray(jax.tree_util.tree_leaves(fn(*args))[0])  # warm

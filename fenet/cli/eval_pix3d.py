@@ -31,6 +31,11 @@ PIX3D_TO_SHAPENET = {
 
 
 def main(argv=None):
+    # Join the cluster BEFORE any jax computation (no-op on a single
+    # host; see fenet.parallel.distributed.initialize for the env knobs).
+    from fenet.parallel.distributed import initialize
+
+    initialize()
     parser = argparse.ArgumentParser()
     parser.add_argument("--batchSize", type=int, default=32)
     parser.add_argument("--num_points", type=int, default=1024)

@@ -19,6 +19,11 @@ from fenet.utils.logger import get_logger
 
 
 def main(argv=None):
+    # Join the cluster BEFORE any jax computation (no-op on a single
+    # host; see fenet.parallel.distributed.initialize for the env knobs).
+    from fenet.parallel.distributed import initialize
+
+    initialize()
     parser = argparse.ArgumentParser()
     parser.add_argument("--batchSize", type=int, default=64)
     parser.add_argument("--workers", type=int, default=8)

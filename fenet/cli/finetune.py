@@ -11,6 +11,11 @@ from fenet.train.driver import train_net
 
 
 def main(argv=None):
+    # Join the cluster BEFORE any jax computation (no-op on a single
+    # host; see fenet.parallel.distributed.initialize for the env knobs).
+    from fenet.parallel.distributed import initialize
+
+    initialize()
     parser = add_common_args(argparse.ArgumentParser())
     parser.add_argument("--cats", nargs="*", default=None,
                         help="category ids to finetune (default: bench set)")

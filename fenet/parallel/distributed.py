@@ -28,17 +28,31 @@ def initialize(
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
 ) -> None:
-    """Thin wrapper over jax.distributed.initialize; no-ops on single host
-    when no coordinator is configured (env- or args-driven)."""
+    """Env-gated wrapper over jax.distributed.initialize, called
+    unconditionally at CLI startup; no-ops on a single host.
+
+    Cluster config, in precedence order: explicit args; a coordinator in
+    ``JAX_COORDINATOR_ADDRESS``/``COORDINATOR_ADDRESS`` plus
+    ``FENET_NUM_PROCESSES``/``FENET_PROCESS_ID`` (jax itself reads no
+    generic process-count/id env vars); or ``FENET_DISTRIBUTED=1`` to run
+    jax's argless auto-detection (TPU pod metadata / SLURM / MPI)."""
     import jax
 
     if coordinator_address is None and num_processes is None:
         import os
 
-        if "JAX_COORDINATOR_ADDRESS" not in os.environ and (
-            "COORDINATOR_ADDRESS" not in os.environ
-        ):
+        coordinator_address = os.environ.get(
+            "JAX_COORDINATOR_ADDRESS"
+        ) or os.environ.get("COORDINATOR_ADDRESS")
+        force = os.environ.get("FENET_DISTRIBUTED", "").lower() not in (
+            "", "0", "false",
+        )
+        if coordinator_address is None and not force:
             return  # single-host: nothing to do
+        n = os.environ.get("FENET_NUM_PROCESSES")
+        p = os.environ.get("FENET_PROCESS_ID")
+        num_processes = int(n) if n else None
+        process_id = int(p) if p else None
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

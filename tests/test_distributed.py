@@ -340,11 +340,15 @@ def test_local_batch_size():
 def test_single_host_noop(monkeypatch):
     """Without a coordinator (args or env), initialize must be a no-op —
     calling jax.distributed.initialize on an already-running single process
-    would raise."""
+    would raise. With env config (the CLI startup path), the cluster args
+    must be read from JAX_COORDINATOR_ADDRESS + FENET_NUM_PROCESSES /
+    FENET_PROCESS_ID; FENET_DISTRIBUTED=1 forces argless auto-detection."""
     from fenet.parallel import distributed
 
-    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
-    monkeypatch.delenv("COORDINATOR_ADDRESS", raising=False)
+    for var in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                "FENET_DISTRIBUTED", "FENET_NUM_PROCESSES",
+                "FENET_PROCESS_ID"):
+        monkeypatch.delenv(var, raising=False)
     called = []
     import jax
 
@@ -359,4 +363,25 @@ def test_single_host_noop(monkeypatch):
     assert called == [
         {"coordinator_address": "host:1", "num_processes": 2,
          "process_id": 0}
+    ]
+
+    called.clear()  # env-driven config (what the CLIs rely on)
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "host:2")
+    monkeypatch.setenv("FENET_NUM_PROCESSES", "4")
+    monkeypatch.setenv("FENET_PROCESS_ID", "3")
+    distributed.initialize()
+    assert called == [
+        {"coordinator_address": "host:2", "num_processes": 4,
+         "process_id": 3}
+    ]
+
+    called.clear()  # forced auto-detection (TPU pod / SLURM / MPI)
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS")
+    monkeypatch.delenv("FENET_NUM_PROCESSES")
+    monkeypatch.delenv("FENET_PROCESS_ID")
+    monkeypatch.setenv("FENET_DISTRIBUTED", "1")
+    distributed.initialize()
+    assert called == [
+        {"coordinator_address": None, "num_processes": None,
+         "process_id": None}
     ]
