@@ -1,0 +1,38 @@
+"""bench.py helpers: the reference-structured baseline must be a faithful
+proxy (host ICP actually aligns; synthetic batches match the eval layout).
+The headline paths themselves run on the chip (driver + verify recipe)."""
+
+import numpy as np
+import pytest
+
+
+def test_host_icp_aligns_rotated_cloud():
+    """bench._host_icp reimplements the reference algorithm
+    (utils/icp.py:68-118); it must recover a rigid transform."""
+    bench = pytest.importorskip("bench")
+    rng = np.random.RandomState(0)
+    a = rng.rand(256, 3).astype(np.float64)
+    theta = 0.3
+    rot = np.array(
+        [[np.cos(theta), -np.sin(theta), 0.0],
+         [np.sin(theta), np.cos(theta), 0.0],
+         [0.0, 0.0, 1.0]]
+    )
+    b = a @ rot.T + np.array([0.05, -0.02, 0.1])
+    t = bench._host_icp(a, b, max_iterations=64, tolerance=1e-12)
+    aligned = a @ t[:3, :3].T + t[:3, 3]
+    err = np.linalg.norm(aligned - b, axis=1).mean()
+    assert err < 1e-3, err
+
+
+def test_synthetic_eval_batches_layout():
+    bench = pytest.importorskip("bench")
+    batches = bench._synthetic_eval_batches(n_cats=2, samples_per_cat=10,
+                                            batch=8)
+    assert len(batches) == 4  # 2 cats x ceil(10/8)
+    img, pts = batches[0]
+    assert img.shape == (8, 128, 128, 3) and img.dtype == np.uint8
+    assert pts.shape == (8, 1024, 3) and pts.dtype == np.float32
+    assert batches[1][0].shape[0] == 2  # 10 = 8 + 2
+    # clouds live in [0, 0.9): the EMD contract wants [0,1]-normalized input
+    assert 0.0 <= pts.min() and pts.max() < 0.9
