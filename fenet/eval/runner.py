@@ -21,7 +21,6 @@ from fenet.geometry.icp import align_pred_to_gt
 from fenet.ops.chamfer import chamfer_distance
 from fenet.ops.emd import earth_mover_distance
 from fenet.parallel.mesh import make_mesh, shard_batch, shard_map_batch
-from fenet.utils.average_meter import AverageMeter
 
 
 # One jitted step per (model config, mesh, metric settings): the 13-category

@@ -9,7 +9,6 @@ per-shard shapes, so they run unmodified on every chip.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Optional
 
 import jax

@@ -35,7 +35,6 @@ regardless of ring rotation order.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,7 @@ from fenet.eval.runner import evaluate_dataset
 from fenet.models.generator import Generator
 from fenet.train.checkpoint import load_checkpoint, save_checkpoint
 from fenet.train.config import TrainConfig
-from fenet.train.trainer import Trainer, TrainState
+from fenet.train.trainer import Trainer
 from fenet.utils.logger import get_logger
 
 

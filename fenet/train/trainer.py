@@ -21,7 +21,6 @@ over ICI, and the Adam update runs replicated.
 
 from __future__ import annotations
 
-import functools
 import time
 from typing import Any, Dict, Optional, Tuple
 

@@ -8,7 +8,6 @@ and inspects assignment uniqueness (metric/emd/test.py:23-28).
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 import scipy.optimize
 
 from fenet.ops.emd import (

@@ -2,7 +2,6 @@
 then the eval / render / prep CLIs against its outputs — the full minimum
 slice of SURVEY.md §7.5 on the 8-device CPU mesh."""
 
-import json
 import os
 
 import numpy as np
@@ -159,9 +158,6 @@ def test_prepare_data_cli(workdir):
 
 
 def test_gradcam_on_generator(trained):
-    import jax
-
-    from fenet.models.generator import Generator
     from fenet.viz.gradcam import grad_cam
 
     result, cfg = trained

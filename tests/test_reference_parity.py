@@ -21,7 +21,6 @@ from __future__ import annotations
 import importlib
 import os
 import sys
-import types
 
 import numpy as np
 import pytest

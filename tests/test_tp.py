@@ -8,7 +8,6 @@ process if partitions arrive >40s apart on this single-core host.
 
 import jax
 import numpy as np
-import pytest
 from jax.sharding import PartitionSpec as P
 
 from fenet.models.generator import Generator

@@ -10,7 +10,6 @@ here and by the driver's dryrun_multichip.
 import os
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
 
