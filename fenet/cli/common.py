@@ -48,9 +48,10 @@ def add_common_args(parser: argparse.ArgumentParser):
                              "model_parallel)")
     parser.add_argument("--emd_iters", type=int, default=3000)
     parser.add_argument("--emd_eps", type=float, default=0.05)
-    parser.add_argument("--emd_scale_phases", type=int, default=3,
+    parser.add_argument("--emd_scale_phases", type=int, default=1,
                         help=">1 enables epsilon-scaling auction phases "
-                             "(1 = strict reference mode)")
+                             "(opt-in speedup; 1 = strict reference mode, "
+                             "the default). Recommended fast mode: 3")
     parser.add_argument("--emd_scale_thresh", type=float, default=0.3,
                         help=">0 gates the scaling phases on the NN-"
                              "competition fraction (adaptive scaling; "

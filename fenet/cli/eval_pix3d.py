@@ -82,7 +82,10 @@ def main(argv=None):
             eval_gen, variables = to_deploy(gen, variables)
         ds = Pix3DDataset(opt.data_dir, category=cat,
                           num_points=opt.num_points)
-        loader = DataLoader(ds, opt.batchSize, drop_last=False)
+        from fenet.parallel.distributed import shard_for_process
+
+        loader = DataLoader(shard_for_process(ds), opt.batchSize,
+                            drop_last=False)
         _, _, summary = evaluate_dataset(
             eval_gen, variables, loader, category=cat, logger=logger,
             icp_iterations=opt.icp_iters, icp_patience=opt.icp_patience,

@@ -81,7 +81,10 @@ def main(argv=None):
             opt.num_points, multi_resolution=False, check_exists=True,
             image_dtype="uint8",
         )
-        loader = DataLoader(ds, opt.batchSize, drop_last=False)
+        from fenet.parallel.distributed import shard_for_process
+
+        loader = DataLoader(shard_for_process(ds), opt.batchSize,
+                            drop_last=False)
         cd_m, emd_m, summary = evaluate_dataset(
             eval_gen, variables, loader, category=cat, logger=logger,
             align=not opt.no_icp, icp_iterations=opt.icp_iters,

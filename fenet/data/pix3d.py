@@ -68,6 +68,12 @@ class Pix3DDataset:
         mask = cv2.imread(mask_path)
         if mask.shape[:2] != image.shape[:2]:
             mask = cv2.resize(mask, (image.shape[1], image.shape[0]))
+        # NB: parity-faithful uint8 multiply (test_pix.py does the same).
+        # Masks load as 0/255, so image * mask WRAPS modulo 256 wherever the
+        # mask is 255 (255*x % 256 == 256-x for x>0) rather than selecting
+        # the foreground. Do NOT "fix" this to a boolean select: trained
+        # reference checkpoints saw the wrapped images, and changing it
+        # breaks eval parity.
         image = image * mask
         x0, y0, x1, y1 = self.bbox[index]
         image = image[y0:y1, x0:x1, :]

@@ -252,8 +252,11 @@ def batched_icp(
         best_err = jnp.where(improved, err, state["best_err"])
         best_src = jnp.where(improved[:, None, None], src, state["best_src"])
         if stall_patience > 0:
-            sig_improved = (~done) & (err < state["best_err"] - thr)
-            stall = jnp.where(sig_improved, 0, state["stall"] + 1)
+            # Reset on ANY best-error improvement (not only >thr ones):
+            # an element improving steadily by sub-thr increments is still
+            # making cumulative progress and must not be stall-stopped —
+            # only elements whose best error is genuinely flat time out.
+            stall = jnp.where(improved, 0, state["stall"] + 1)
             newly_done = newly_done | (stall >= stall_patience)
         else:
             stall = state["stall"]

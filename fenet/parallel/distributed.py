@@ -82,6 +82,18 @@ def local_batch_size(global_batch: int, process_count: Optional[int] = None) -> 
     return global_batch // n
 
 
+def shard_for_process(dataset):
+    """Wrap ``dataset`` in :class:`ProcessShardDataset` when running
+    multi-host, else return it unchanged — the one-liner the eval CLIs use
+    so each process evaluates only its shard (evaluate_dataset re-combines
+    the partial sums with an allgather)."""
+    import jax
+
+    if jax.process_count() > 1:
+        return ProcessShardDataset(dataset)
+    return dataset
+
+
 class ProcessShardDataset:
     """The ``process_index``-th strided shard of a dataset.
 

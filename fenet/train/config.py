@@ -47,11 +47,13 @@ class TrainConfig:
     emd_eps: float = 0.05
     emd_iters: int = 3000
     # >1 enables epsilon-scaling in the training auction (same final-eps
-    # optimality, several times fewer iterations; 1 = strict reference mode).
-    # Default 3 + adaptive gate below: 1.6x faster on early-training batches
-    # (measured B=128/N=1024/train settings), bit-identical to strict mode
-    # once clouds overlap. PARITY.md documents the divergence.
-    emd_scale_phases: int = 3
+    # optimality, several times fewer iterations; 1 = strict reference mode,
+    # the DEFAULT — unchanged invocations keep exact reference numerics).
+    # Opt in with 3 + the adaptive gate below: 1.6x faster on
+    # early-training batches (measured B=128/N=1024/train settings),
+    # bit-identical to strict mode once clouds overlap (the gate closes).
+    # PARITY.md #10 documents the trade.
+    emd_scale_phases: int = 1
     # >0 makes the scaling adaptive: high-eps phases run only for batch
     # elements whose NN-competition fraction (distinct nearest-gt-columns /
     # N) is below this (skipped phases = bit-identical to the fixed-eps

@@ -46,6 +46,9 @@ class MetricWriter:
             self._jsonl.write(
                 json.dumps({"tag": tag, "value": value, "step": step}) + "\n"
             )
+            # Per-write flush: a crash must not lose the scalar history the
+            # checkpoint cannot reconstruct (tiny writes, negligible cost).
+            self._jsonl.flush()
 
     def close(self):
         if self._tb is not None:
@@ -192,14 +195,31 @@ def train_net(
             from jax.experimental import multihost_utils
 
             if primary:
-                blob = load_checkpoint(path, target=target)
+                # Probe before entering the collective: raising here while
+                # the workers sit in broadcast_one_to_all would turn a clean
+                # FileNotFoundError into a cluster hang (collective watchdog).
+                try:
+                    blob = load_checkpoint(path, target=target)
+                    found = 1
+                except FileNotFoundError:
+                    blob, found = target, 0
                 meta = np.asarray(
                     [float(blob.get("epoch", 0)),
                      float(blob.get("train_time", 0.0))], np.float32,
                 )
             else:
                 blob = target
+                found = 1  # overwritten by the broadcast below
                 meta = np.zeros(2, np.float32)
+            found = int(
+                multihost_utils.broadcast_one_to_all(
+                    np.asarray(found, np.int32)
+                )
+            )
+            if not found:
+                raise FileNotFoundError(
+                    f"--resume: checkpoint not found on process 0: {path}"
+                )
             arrays = multihost_utils.broadcast_one_to_all(
                 {k: blob[k] for k in ("params", "batch_stats", "opt_state")}
             )
@@ -239,6 +259,28 @@ def train_net(
              "%.4f" % epoch_stats["emd_loss"]],
         )
         history.append({"epoch": epoch, **epoch_stats})
+
+        # --train_save_freq: periodic (non-best) checkpoint between the
+        # validation epochs. The reference parses this flag but never reads
+        # it (train.py:41 — dead there); here it is wired so long runs can
+        # resume without waiting for the next validate epoch. 0 disables.
+        if (
+            primary
+            and cfg.train_save_freq > 0
+            and epoch % cfg.train_save_freq == 0
+            and epoch not in tuple(cfg.validate_epochs)
+        ):
+            save_checkpoint(
+                {
+                    "params": state.params,
+                    "batch_stats": state.batch_stats,
+                    "opt_state": state.opt_state,
+                    "epoch": epoch,
+                    "model_name": ckpt_dir,
+                    "train_time": all_epoch_time,
+                },
+                False, cat, ckpt_dir, epoch, fmt=cfg.ckpt_format,
+            )
 
         if epoch in tuple(cfg.validate_epochs) and len(val_ds):
             variables = {"params": state.params,
