@@ -16,10 +16,72 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# Hardware peaks for the utilization accounting (v5e-class defaults:
+# 197 bf16 TFLOP/s MXU, 819 GB/s HBM). Override via env on other chips.
+_PEAK_BF16_TFLOPS = float(os.environ.get("FENET_PEAK_BF16_TFLOPS", "197"))
+_PEAK_HBM_GBPS = float(os.environ.get("FENET_PEAK_HBM_GBPS", "819"))
+
+
+def _probe_backend(attempts=3, timeout=150.0, wait=30.0):
+    """Probe TPU backend init in a subprocess with bounded retries.
+
+    The platform backend occasionally hard-HANGS on init (observed outage
+    2026-08-17: `jax.devices()` blocked >10 min) — an in-process attempt
+    cannot be timed out, so the probe runs in a child. Returns (ok, msg);
+    a failure here is a platform outage, distinguishable from a code
+    regression (the caller records it as an explicit JSON error)."""
+    import subprocess
+
+    last = ""
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.devices()[0].platform)"],
+                capture_output=True, text=True, timeout=timeout,
+                cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
+            )
+            if r.returncode == 0:
+                return True, r.stdout.strip()
+            last = (r.stderr or r.stdout).strip()[-400:]
+        except subprocess.TimeoutExpired:
+            last = f"backend init hung > {timeout:.0f}s (attempt {i + 1})"
+        if i < attempts - 1:
+            time.sleep(wait)
+    return False, last
+
+
+def _unavailable_record(msg: str) -> dict:
+    return {
+        "metric": "shapenet_13cat_eval_throughput",
+        "value": None,
+        "unit": "images/sec/chip",
+        "vs_baseline": None,
+        "error": f"tpu_unavailable: {msg}",
+        "error_note": (
+            "TPU backend failed/hung during init — platform outage, not a "
+            "code regression; last driver-verified numbers: BENCH_r01 plus "
+            "README round-2 measurements"
+        ),
+    }
+
+
+def _cost_analysis(jitted, *args):
+    """XLA's flops / bytes-accessed estimate for a compiled function
+    (dict), or None where the backend doesn't expose cost analysis."""
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else None
+        return dict(ca) if ca else None
+    except Exception:
+        return None
 
 
 def _build_model_and_state(seed: int = 0):
@@ -270,9 +332,18 @@ def run_reference_structured(model, variables, batches, n_samples=48):
 
 
 def run_stage_bench(model, variables, batch=48, reps=10):
-    """Per-stage eval-cycle breakdown (the docs/DESIGN.md §1 numbers):
-    ms/image for A2 forward, batched ICP, EMD(0.005, 50), chamfer — each
-    jitted separately with forced fetches. Where the cycles go, measured."""
+    """Per-stage eval-cycle breakdown (the docs/DESIGN.md §1 numbers) with
+    utilization accounting: ms/image plus achieved FLOP/s vs the MXU bf16
+    peak (``mfu``) and achieved bytes/s vs the HBM peak (``bw_frac``).
+
+    FLOP sources: XLA's own cost_analysis for the model forward; exact
+    analytic matmul counts for ICP and chamfer — the ``icp_fixed`` stage
+    disables every data-dependent early exit so the iteration count (hence
+    the FLOP count) is static. Metric stages run Precision.HIGHEST/HIGH
+    fp32 (6/3 MXU passes per useful MAC), so ``mxu_busy`` = mfu x passes is
+    the fraction of MXU issue slots actually occupied. The EMD auction is
+    VPU-bound (elementwise bidding; the MXU cross-term runs once), so it
+    reports microseconds per auction iteration instead of an MFU."""
     import jax
     import jax.numpy as jnp
 
@@ -286,6 +357,9 @@ def run_stage_bench(model, variables, batch=48, reps=10):
         (rng.rand(batch, 128, 128, 3) * 255).astype(np.uint8)
     )
     points = jnp.asarray(rng.rand(batch, 1024, 3).astype(np.float32) * 0.9)
+    n = points.shape[1]
+    icp_fixed_iters = 64
+    emd_fixed_iters = EVAL_EMD_ITERS
 
     @jax.jit
     def fwd(v, img):
@@ -298,8 +372,22 @@ def run_stage_bench(model, variables, batch=48, reps=10):
                                 tolerance=1e-10, stall_patience=32)
 
     @jax.jit
+    def icp_fixed(pred, gt):
+        # All early exits off -> exactly icp_fixed_iters NN+fit iterations.
+        return align_pred_to_gt(pred, gt, max_iterations=icp_fixed_iters,
+                                tolerance=0.0, rel_tolerance=0.0,
+                                stall_patience=0)
+
+    @jax.jit
     def emd(pred, gt):
         d, _ = earth_mover_distance(pred, gt, EVAL_EMD_EPS, EVAL_EMD_ITERS)
+        return d
+
+    @jax.jit
+    def emd_fixed(pred, gt):
+        # early_exit=False -> exactly emd_fixed_iters auction iterations.
+        d, _ = earth_mover_distance(pred, gt, EVAL_EMD_EPS, emd_fixed_iters,
+                                    1, False)
         return d
 
     @jax.jit
@@ -317,19 +405,107 @@ def run_stage_bench(model, variables, batch=48, reps=10):
     )
 
     def timed(fn, *args):
-        np.asarray(jax.tree_util.tree_leaves(fn(*args))[0])  # warm
+        np.asarray(jax.tree_util.tree_leaves(fn(*args))[0])  # warm/compile
         t0 = time.time()
         for _ in range(reps):
             out = fn(*args)
         np.asarray(jax.tree_util.tree_leaves(out)[0])  # forced drain
-        return (time.time() - t0) / reps / batch * 1000.0
+        return (time.time() - t0) / reps  # seconds per call (whole batch)
 
+    def util(stage_s, flops=None, bytes_=None, passes=1):
+        """Per-stage utilization record from a per-call wall time."""
+        out = {}
+        if flops:
+            tflops = flops / stage_s / 1e12
+            out["achieved_tflops"] = round(tflops, 3)
+            out["mfu"] = round(tflops / _PEAK_BF16_TFLOPS, 5)
+            if passes > 1:  # HIGHEST/HIGH fp32: 6/3 bf16 passes per MAC
+                out["mxu_busy"] = round(
+                    min(1.0, tflops * passes / _PEAK_BF16_TFLOPS), 5
+                )
+        if bytes_:
+            gbps = bytes_ / stage_s / 1e9
+            out["achieved_gbps"] = round(gbps, 2)
+            out["bw_frac"] = round(gbps / _PEAK_HBM_GBPS, 5)
+        return out
+
+    # --- model forward: XLA's cost model knows the conv/matmul FLOPs.
+    t_fwd = timed(fwd, variables, images)
+    ca = _cost_analysis(fwd, variables, images) or {}
+    fwd_rec = {
+        "ms_per_image": round(t_fwd / batch * 1000.0, 4),
+        **util(t_fwd, flops=ca.get("flops"),
+               bytes_=ca.get("bytes accessed")),
+        "flop_source": "xla_cost_analysis" if ca else "unavailable",
+    }
+
+    # --- ICP: production (stall-patience) timing + fixed-iteration MFU.
+    t_icp = timed(icp, pred, points)
+    t_icp_fixed = timed(icp_fixed, pred, points)
+    # Per iteration per element: the (N,N) NN cross-term einsum dominates
+    # (2*N*N*3 useful MACs -> x2 flops), Precision.HIGH = 3 MXU passes.
+    icp_flops = icp_fixed_iters * batch * 2 * n * n * 3
+    icp_rec = {
+        "ms_per_image": round(t_icp / batch * 1000.0, 4),
+        "fixed_iters": icp_fixed_iters,
+        "fixed_ms_per_image": round(t_icp_fixed / batch * 1000.0, 4),
+        **util(t_icp_fixed, flops=icp_flops, passes=3),
+        "flop_source": f"analytic NN einsum, {icp_fixed_iters} iters",
+    }
+
+    # --- EMD: VPU-bound auction; report the per-iteration rate.
+    t_emd = timed(emd, aligned, points)
+    t_emd_fixed = timed(emd_fixed, aligned, points)
+    emd_rec = {
+        "ms_per_image": round(t_emd / batch * 1000.0, 4),
+        "fixed_iters": emd_fixed_iters,
+        "fixed_ms_per_image": round(t_emd_fixed / batch * 1000.0, 4),
+        "us_per_auction_iter": round(
+            t_emd_fixed / emd_fixed_iters * 1e6, 2
+        ),
+        "note": "VPU/VMEM-bound (elementwise bidding); MFU not meaningful",
+    }
+
+    # --- chamfer: one MXU cross-term per direction (K padded to 8),
+    # Precision.HIGHEST = 6 passes.
+    t_cham = timed(cham, aligned, points)
+    cham_flops = batch * 2 * (2 * n * n * 8)
+    cham_rec = {
+        "ms_per_image": round(t_cham / batch * 1000.0, 4),
+        **util(t_cham, flops=cham_flops, passes=6),
+        "flop_source": "analytic cross-term matmul, K=8",
+    }
+
+    # Overall eval-step MFU: useful FLOPs of the production pipeline over
+    # its wall. ICP's production FLOPs are estimated time-proportionally
+    # from the fixed-iteration variant (same kernel mix per iteration).
+    icp_prod_flops = icp_flops * (t_icp / t_icp_fixed)
+    total_flops = (ca.get("flops") or 0.0) + icp_prod_flops + cham_flops
+    total_t = t_fwd + t_icp + t_emd + t_cham
     return {
         "batch": batch,
-        "forward_ms_per_image": round(timed(fwd, variables, images), 4),
-        "icp_ms_per_image": round(timed(icp, pred, points), 4),
-        "emd_ms_per_image": round(timed(emd, aligned, points), 4),
-        "chamfer_ms_per_image": round(timed(cham, aligned, points), 4),
+        "peaks": {"bf16_tflops": _PEAK_BF16_TFLOPS,
+                  "hbm_gbps": _PEAK_HBM_GBPS, "assumed": "v5e-class"},
+        "forward": fwd_rec,
+        "icp": icp_rec,
+        "emd": emd_rec,
+        "chamfer": cham_rec,
+        "overall": {
+            "ms_per_image": round(total_t / batch * 1000.0, 4),
+            "mfu": round(total_flops / total_t / 1e12 / _PEAK_BF16_TFLOPS,
+                         5),
+            "note": (
+                "useful fp32 FLOPs of fwd+ICP+chamfer over the full "
+                "pipeline wall (EMD contributes time but VPU work); "
+                "metric stages pay 3-6 MXU passes per useful MAC at "
+                "HIGH/HIGHEST precision — see per-stage mxu_busy"
+            ),
+        },
+        # Back-compat flat keys (docs/DESIGN.md round-2 table).
+        "forward_ms_per_image": fwd_rec["ms_per_image"],
+        "icp_ms_per_image": icp_rec["ms_per_image"],
+        "emd_ms_per_image": emd_rec["ms_per_image"],
+        "chamfer_ms_per_image": cham_rec["ms_per_image"],
     }
 
 
@@ -339,9 +515,31 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--stages", action="store_true",
                         help="print the per-stage eval-cycle breakdown "
-                             "instead of the headline metric")
+                             "(with MFU/bandwidth accounting) instead of "
+                             "the headline metric")
+    parser.add_argument("--no_probe", action="store_true",
+                        help="skip the subprocess backend probe (saves "
+                             "~15s when the chip is known-good)")
     opt = parser.parse_args(argv)
 
+    if not opt.no_probe:
+        ok, msg = _probe_backend()
+        if not ok:
+            # Outage, not regression: record it as parseable JSON so the
+            # round log distinguishes a down platform from a broken bench.
+            print(json.dumps(_unavailable_record(msg)))
+            return 0
+    try:
+        return _run(opt)
+    except RuntimeError as e:  # backend died mid-run (flap after probe)
+        text = str(e)
+        if "UNAVAILABLE" in text or "Unable to initialize backend" in text:
+            print(json.dumps(_unavailable_record(text[-400:])))
+            return 0
+        raise
+
+
+def _run(opt):
     from fenet.utils.compilation_cache import enable
 
     enable()  # big fused steps compile once per machine
@@ -364,7 +562,12 @@ def main(argv=None):
         model, variables, batches
     )
     train_ips, train_sps, train_base_ips = run_train_bench(mesh)
-    serving_ips = run_inference_bench(model, variables, mesh)
+    serving_sweep = {
+        b: run_inference_bench(model, variables, mesh, batch=b)
+        for b in (256, 512, 1024)
+    }
+    serving_batch = max(serving_sweep, key=serving_sweep.get)
+    serving_ips = serving_sweep[serving_batch]
     result = {
         "metric": "shapenet_13cat_eval_throughput",
         "value": round(throughput, 3),
@@ -391,10 +594,14 @@ def main(argv=None):
             ),
             "serving": {
                 "images_per_sec_chip": round(serving_ips, 3),
-                "batch": 256,
+                "batch": serving_batch,
+                "sweep": {
+                    str(b): round(v, 3) for b, v in serving_sweep.items()
+                },
                 "note": (
                     "deploy-folded forward only (image -> 1024-pt cloud), "
-                    "inputs staged in HBM; the --deploy CLI path"
+                    "inputs staged in HBM; the --deploy CLI path; "
+                    "images_per_sec_chip = best batch of the sweep"
                 ),
             },
             "train": {
