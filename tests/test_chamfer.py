@@ -11,6 +11,7 @@ import pytest
 
 from fenet.ops.chamfer import (
     _nn_pallas,
+    _nn_pallas_stream,
     chamfer_distance,
     chamfer_distance_ref,
 )
@@ -50,6 +51,40 @@ def test_pallas_interpret_matches_ref():
     )
     d_pal, i_pal = _nn_pallas(a, b, interpret=True)
     np.testing.assert_allclose(np.asarray(d_pal), np.asarray(d_ref), rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i_pal), np.asarray(i_ref))
+
+
+@pytest.mark.parametrize("n,m", [(512, 2048), (300, 1500)])
+def test_pallas_stream_interpret_matches_ref(n, m):
+    """Streaming kernel (B-cloud tiled over an inner grid axis with a
+    running min/argmin) against the XLA oracle, including ragged shapes
+    that exercise the global pad-column mask and the cross-tile argmin
+    offset."""
+    rng = np.random.RandomState(3)
+    a = jnp.asarray(rng.rand(2, n, 3), jnp.float32)
+    b = jnp.asarray(rng.rand(2, m, 3), jnp.float32)
+    d_ref, i_ref = chamfer_distance_ref(a, b)[0], chamfer_distance_ref(a, b)[2]
+    d_pal, i_pal = _nn_pallas_stream(a, b, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(d_pal), np.asarray(d_ref), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(i_pal), np.asarray(i_ref))
+
+
+def test_pallas_stream_interpret_beyond_vmem_cap():
+    """The round-3 cap lift: M = N = 16384 — 4x beyond the resident
+    kernel's 8192 VMEM cap (chamfer3D.cu:13's shared-memory analog). The
+    (N, M) matrix would be 1 GB; the streaming kernel never materializes
+    it. Verified against the oracle on a thin batch."""
+    rng = np.random.RandomState(4)
+    n = 16384
+    a = jnp.asarray(rng.rand(1, n, 3), jnp.float32)
+    b = jnp.asarray(rng.rand(1, n, 3), jnp.float32)
+    d_ref, _, i_ref, _ = chamfer_distance_ref(a, b)
+    d_pal, i_pal = _nn_pallas_stream(a, b, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(d_pal), np.asarray(d_ref), rtol=1e-5, atol=1e-6
+    )
     np.testing.assert_array_equal(np.asarray(i_pal), np.asarray(i_ref))
 
 
