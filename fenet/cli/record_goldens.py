@@ -1,0 +1,167 @@
+"""Real-ShapeNet golden recorder: the BASELINE.json 1%-parity pipeline.
+
+Given mounted ShapeNet data and per-category checkpoints — fenet's own OR
+the reference's torch ``.pth.tar`` files (testnet.py:112-136 loads one per
+category) — this emits the 13-category CD/EMD golden table as JSON, ready
+to diff against the reference's published per-category numbers (or against
+a table produced by running the reference's testnet.py on the same
+checkpoints).
+
+Defaults are STRICT parity mode: full-budget ICP (no stall patience), the
+reference eval EMD settings (eps=0.005, iters=50), metrics x100
+(utils/metrics.py:46-58). Runbook:
+
+    # reference checkpoints (torch):
+    python -m fenet.cli.record_goldens \\
+        --torch_model /ckpts/%s/model_best.pth.tar \\
+        --data_dir_imgs .../ShapeNetRendering/ \\
+        --data_dir_pcl .../ShapeNet_pointclouds/ \\
+        --splits_path .../splits/ --out goldens_shapenet.json
+
+    # fenet checkpoints:
+    python -m fenet.cli.record_goldens \\
+        --model ./output/fenet/%s/checkpoints/ --out goldens_shapenet.json
+
+Categories whose checkpoint or data are missing are SKIPPED with a note
+(recorded in the JSON), so partial mounts still produce a usable table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import numpy as np
+
+from fenet.cli.common import ALL_CATS
+from fenet.data.loader import DataLoader
+from fenet.data.shapenet import ShapeNetDataset, load_split
+from fenet.eval.runner import evaluate_dataset
+from fenet.models.generator import Generator
+from fenet.train.checkpoint import load_checkpoint
+
+
+def _load_variables(gen: Generator, opt, cat: str):
+    """Per-category variables from either checkpoint universe."""
+    sample = np.zeros((1, 128, 128, 3), np.float32)
+    variables = gen.init(jax.random.PRNGKey(0), sample, train=False)
+    if opt.torch_model:
+        from fenet.models.convert import load_torch_checkpoint, merge_variables
+
+        path = opt.torch_model % cat if "%s" in opt.torch_model \
+            else opt.torch_model
+        if not os.path.exists(path):
+            raise FileNotFoundError(path)
+        converted = load_torch_checkpoint(path)
+        return {
+            "params": merge_variables(variables["params"],
+                                      converted["params"]),
+            "batch_stats": merge_variables(variables["batch_stats"],
+                                           converted["batch_stats"]),
+        }
+    ckpt_dir = opt.model % cat if "%s" in opt.model else opt.model
+    blob = load_checkpoint(
+        os.path.join(ckpt_dir, "model_best.ckpt"),
+        target={"params": variables["params"],
+                "batch_stats": variables["batch_stats"]},
+    )
+    return {"params": blob["params"], "batch_stats": blob["batch_stats"]}
+
+
+def main(argv=None):
+    from fenet.parallel.distributed import initialize
+
+    initialize()
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batchSize", type=int, default=64)
+    parser.add_argument("--num_points", type=int, default=1024)
+    parser.add_argument("--model", type=str,
+                        default="./output/fenet/%s/checkpoints/",
+                        help="fenet checkpoint dir pattern (%%s = category)")
+    parser.add_argument("--torch_model", type=str, default=None,
+                        help="reference .pth.tar pattern (%%s = category); "
+                             "takes precedence over --model")
+    parser.add_argument("--splits_path", type=str, default="./data/splits/")
+    parser.add_argument("--data_dir_imgs", type=str,
+                        default="./data/shapenet/ShapeNetRendering/")
+    parser.add_argument("--data_dir_pcl", type=str,
+                        default="./data/shapenet/ShapeNet_pointclouds/")
+    parser.add_argument("--backbone", type=str, default="RepVGG-A2")
+    parser.add_argument("--fine_width", type=int, default=512)
+    parser.add_argument("--mid_width", type=int, default=128)
+    parser.add_argument("--cats", nargs="*", default=ALL_CATS)
+    parser.add_argument("--icp_iters", type=int, default=1024)
+    parser.add_argument("--icp_patience", type=int, default=0,
+                        help="0 = STRICT full-budget ICP (the golden "
+                             "default); 32 = the fast eval mode")
+    parser.add_argument("--emd_iters", type=int, default=50)
+    parser.add_argument("--split", type=str, default="val",
+                        choices=("val", "train"),
+                        help="which split file to evaluate "
+                             "(testnet.py evaluates val_models.json)")
+    parser.add_argument("--out", type=str, default="goldens_shapenet.json")
+    opt = parser.parse_args(argv)
+    print(opt)
+
+    gen = Generator(num_points=opt.num_points, backbone=opt.backbone,
+                    fine_width=opt.fine_width, mid_width=opt.mid_width)
+    models = load_split(opt.splits_path, f"{opt.split}_models.json")
+
+    table = {"settings": {
+        "icp": {"iterations": opt.icp_iters, "tolerance": 1e-10,
+                "patience": opt.icp_patience},
+        "emd": {"eps": 0.005, "iters": opt.emd_iters},
+        "metrics": "sqrt-EMD x100 / squared-CD x100 (utils/metrics.py)",
+        "checkpoints": opt.torch_model or opt.model,
+        "split": opt.split,
+    }, "categories": {}}
+    for cat in opt.cats:
+        try:
+            variables = _load_variables(gen, opt, cat)
+            ds = ShapeNetDataset(
+                opt.data_dir_imgs, opt.data_dir_pcl, models, [cat],
+                opt.num_points, multi_resolution=False, check_exists=True,
+                image_dtype="uint8",
+            )
+            if not len(ds):
+                raise FileNotFoundError(
+                    f"no samples for {cat} under {opt.data_dir_imgs}"
+                )
+        except FileNotFoundError as e:
+            table["categories"][cat] = {"skipped": str(e)}
+            print(cat, "SKIPPED:", e)
+            continue
+        loader = DataLoader(ds, opt.batchSize, drop_last=False)
+        _, _, summary = evaluate_dataset(
+            gen, variables, loader, category=cat, logger=None,
+            icp_iterations=opt.icp_iters, icp_patience=opt.icp_patience,
+            emd_iters=opt.emd_iters,
+        )
+        table["categories"][cat] = {
+            "cd": summary["ChamferDistance"],
+            "emd": summary["EMD_distance"],
+            "samples": summary["samples"],
+        }
+        print(cat, json.dumps(table["categories"][cat]))
+
+    done = [c for c in table["categories"].values() if "cd" in c]
+    if done:
+        table["mean_cd"] = float(np.mean([c["cd"] for c in done]))
+        table["mean_emd"] = float(np.mean([c["emd"] for c in done]))
+    table["skipped"] = sorted(
+        k for k, v in table["categories"].items() if "skipped" in v
+    )
+    with open(opt.out, "w") as f:
+        json.dump(table, f, indent=1)
+    print(json.dumps({"out": opt.out,
+                      "recorded": len(done),
+                      "skipped": len(table["skipped"]),
+                      "mean_cd": table.get("mean_cd"),
+                      "mean_emd": table.get("mean_emd")}))
+    return table
+
+
+if __name__ == "__main__":
+    main()

@@ -147,6 +147,38 @@ def test_heatmap_cli(workdir, trained):
     assert os.path.exists(png) and os.path.getsize(png) > 0
 
 
+def test_record_goldens_cli(workdir, trained):
+    """Golden-recorder smoke: records the trained category, gracefully
+    skips the 12 categories with no checkpoint/data, writes the JSON
+    table (the real-ShapeNet runbook's pipeline, testnet.py:112-136)."""
+    import json
+
+    from fenet.cli.record_goldens import main
+
+    out = os.path.join(workdir, "goldens.json")
+    table = main([
+        "--model", os.path.join(workdir, "output", "%s", "checkpoints") + "/",
+        "--splits_path", os.path.join(workdir, "splits"),
+        "--data_dir_imgs", os.path.join(workdir, "ShapeNetRendering") + "/",
+        "--data_dir_pcl", os.path.join(workdir, "ShapeNet_pointclouds") + "/",
+        "--backbone", "RepVGG-TEST",
+        "--fine_width", "32", "--mid_width", "16",
+        "--batchSize", "16",
+        "--icp_iters", "8",
+        "--emd_iters", "5",
+        "--cats", CAT, "02828884",  # second category: nothing on disk
+        "--out", out,
+    ])
+    assert os.path.exists(out)
+    with open(out) as f:
+        loaded = json.load(f)
+    assert loaded["categories"][CAT]["samples"] == 24
+    assert np.isfinite(loaded["categories"][CAT]["cd"])
+    assert loaded["skipped"] == ["02828884"]
+    assert loaded["mean_cd"] == loaded["categories"][CAT]["cd"]
+    assert table["categories"][CAT] == loaded["categories"][CAT]
+
+
 def test_prepare_data_cli(workdir):
     from fenet.cli.prepare_data import main
 
