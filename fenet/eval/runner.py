@@ -35,15 +35,19 @@ def _local_values(arr):
     mesh spanning several processes the metric outputs are not fully
     addressable, and each process reads back exactly the samples it fed
     (batch-dim shards are per-process contiguous by construction of
-    shard_batch)."""
+    shard_batch). On a tensor-parallel mesh the batch-sharded outputs are
+    REPLICATED along the model axis, so several local shards can cover the
+    same batch rows — deduplicated by shard start index."""
     import numpy as np
 
     if getattr(arr, "is_fully_addressable", True):
         return np.asarray(arr)
-    shards = sorted(
-        arr.addressable_shards, key=lambda s: s.index[0].start or 0
+    shards = {}
+    for s in arr.addressable_shards:
+        shards.setdefault(s.index[0].start or 0, s.data)
+    return np.concatenate(
+        [np.asarray(shards[k]) for k in sorted(shards)]
     )
-    return np.concatenate([np.asarray(s.data) for s in shards])
 
 
 def make_eval_step(
@@ -156,11 +160,18 @@ def evaluate_dataset(
     if mesh_procs > 1:  # combine the per-process partial sums
         from jax.experimental import multihost_utils
 
+        from fenet.parallel.distributed import batch_process_groups
+
         totals = multihost_utils.process_allgather(
             np.asarray([emd_sum, cd_sum, float(n_samples)])
         ).sum(axis=0)
+        # Tensor-parallel peer processes evaluate IDENTICAL batch rows
+        # (datasets shard per batch group), so their partial sums repeat
+        # group-size times in the allgather — normalize them away.
+        dup = mesh_procs // batch_process_groups(mesh)[1]
         emd_sum, cd_sum, n_samples = (
-            float(totals[0]), float(totals[1]), int(totals[2]),
+            float(totals[0]) / dup, float(totals[1]) / dup,
+            int(round(totals[2] / dup)),
         )
     avg = [emd_sum / max(n_samples, 1), cd_sum / max(n_samples, 1)]
     summary = {

@@ -82,6 +82,29 @@ def local_batch_size(global_batch: int, process_count: Optional[int] = None) -> 
     return global_batch // n
 
 
+def batch_process_groups(mesh) -> tuple:
+    """(group_index, group_count) of this process along ``mesh``'s batch
+    axis.
+
+    Processes whose devices hold the SAME batch-axis rows (pure tensor-
+    parallel peers on a dp x tp mesh) form one group: they must feed
+    identical local batches, so the dataset is sharded per GROUP, not per
+    process. On a 1-D batch mesh every process is its own group and this
+    degenerates to (process_index, process_count)."""
+    import jax
+
+    batch_dim = mesh.axis_names.index("batch")
+    coords_by_proc: dict = {}
+    import numpy as np
+
+    for idx in np.ndindex(mesh.devices.shape):
+        d = mesh.devices[idx]
+        coords_by_proc.setdefault(d.process_index, set()).add(idx[batch_dim])
+    groups = sorted({tuple(sorted(v)) for v in coords_by_proc.values()})
+    mine = tuple(sorted(coords_by_proc[jax.process_index()]))
+    return groups.index(mine), len(groups)
+
+
 def shard_for_process(dataset):
     """Wrap ``dataset`` in :class:`ProcessShardDataset` when running
     multi-host, else return it unchanged — the one-liner the eval CLIs use

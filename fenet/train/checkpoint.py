@@ -36,17 +36,31 @@ def _flatten(tree: Mapping, prefix=()) -> Dict[tuple, np.ndarray]:
 def _fetch(leaf):
     """Host copy of a leaf. Fully-replicated multi-process arrays (the dp
     state) read straight off the local replica; arrays actually SHARDED
-    across other hosts (multi-host tensor parallelism) are re-assembled
-    with an allgather — ``device_get`` alone raises on those. NB the
-    allgather is a collective: callers on that path must invoke
-    save_checkpoint from every process."""
+    across other hosts (multi-host tensor parallelism) are re-assembled by
+    a jitted identity with replicated out_shardings — XLA inserts the
+    all-gather along the correct mesh axes (axis-aware, unlike a raw
+    ``process_allgather`` which concatenates on axis 0). NB that gather is
+    a COLLECTIVE: every process must reach it — the train driver calls
+    :func:`fetch_arrays` on all processes and only process 0 writes."""
     if getattr(leaf, "is_fully_addressable", True) or getattr(
         leaf, "is_fully_replicated", False
     ):
         return jax.device_get(leaf)
-    from jax.experimental import multihost_utils
+    from jax.sharding import NamedSharding, PartitionSpec
 
-    return np.asarray(multihost_utils.process_allgather(leaf, tiled=True))
+    mesh = leaf.sharding.mesh
+    gathered = jax.jit(
+        lambda x: x, out_shardings=NamedSharding(mesh, PartitionSpec())
+    )(leaf)
+    return jax.device_get(gathered)
+
+
+def fetch_arrays(tree):
+    """Host numpy copies of every leaf of ``tree``. Under multi-host tensor
+    parallelism this is a collective (see :func:`_fetch`) — the driver
+    invokes it from EVERY process at each checkpoint point, then only
+    process 0 passes the result to :func:`save_checkpoint`."""
+    return jax.tree_util.tree_map(_fetch, tree)
 
 
 def _split_state(state: Dict[str, Any]):

@@ -18,7 +18,11 @@ from fenet.data.shapenet import ShapeNetDataset, load_split
 from fenet.eval.metrics import Metrics
 from fenet.eval.runner import evaluate_dataset
 from fenet.models.generator import Generator
-from fenet.train.checkpoint import load_checkpoint, save_checkpoint
+from fenet.train.checkpoint import (
+    fetch_arrays,
+    load_checkpoint,
+    save_checkpoint,
+)
 from fenet.train.config import TrainConfig
 from fenet.train.trainer import Trainer
 from fenet.utils.logger import get_logger
@@ -105,34 +109,50 @@ def train_net(
     n_proc = jax.process_count()
     primary = jax.process_index() == 0
     batch_size = cfg.batch_size
+    mesh = None
     if n_proc > 1:
         from fenet.parallel.distributed import (
             ProcessShardDataset,
+            batch_process_groups,
             local_batch_size,
         )
 
-        if cfg.model_parallel > 1:
-            raise NotImplementedError(
-                "multi-host + tensor parallelism: checkpointing of params "
-                "sharded across hosts is untested — run tp within one host "
-                "or multi-host dp-only"
+        tp = max(cfg.model_parallel, 1)
+        # The mesh must span every process (each train step is a
+        # cross-host collective); the single-process default would
+        # build a host-0-only mesh and strand the workers.
+        if jax.device_count() % tp:
+            raise ValueError(
+                f"--model_parallel {tp} does not divide the "
+                f"{jax.device_count()} devices of this cluster"
             )
         if cfg.data_parallel == 1:
-            # The mesh must span every process (each train step is a
-            # cross-host collective); the single-process default would
-            # build a host-0-only mesh and strand the workers.
-            cfg.data_parallel = jax.device_count()
-        elif cfg.data_parallel != jax.device_count():
+            cfg.data_parallel = jax.device_count() // tp
+        elif cfg.data_parallel * tp != jax.device_count():
             raise ValueError(
                 f"multi-host training needs the mesh to cover all "
                 f"{jax.device_count()} devices across {n_proc} processes; "
-                f"got --data_parallel {cfg.data_parallel} (leave it at 1 "
-                "to auto-size)"
+                f"got dp x tp = {cfg.data_parallel} x {tp} (leave "
+                "--data_parallel at 1 to auto-size)"
             )
-        batch_size = local_batch_size(cfg.batch_size, n_proc)
-        train_ds = ProcessShardDataset(train_ds)
+        if tp > 1:
+            from fenet.parallel.tp import make_dp_tp_mesh
+
+            mesh = make_dp_tp_mesh(cfg.data_parallel, tp)
+        else:
+            from fenet.parallel.mesh import make_mesh
+
+            mesh = make_mesh(cfg.data_parallel)
+        # Tensor-parallel peer processes hold the SAME batch rows and must
+        # feed identical local batches, so datasets shard per batch GROUP
+        # (== per process on a dp-only mesh).
+        grp, n_grp = batch_process_groups(mesh)
+        batch_size = local_batch_size(cfg.batch_size, n_grp)
+        train_ds = ProcessShardDataset(train_ds, process_index=grp,
+                                       process_count=n_grp)
         if len(val_ds):
-            val_ds = ProcessShardDataset(val_ds)
+            val_ds = ProcessShardDataset(val_ds, process_index=grp,
+                                         process_count=n_grp)
     train_loader = DataLoader(
         train_ds, batch_size, shuffle=True, drop_last=True,
         seed=cfg.manual_seed,
@@ -159,7 +179,7 @@ def train_net(
         num_points=cfg.num_points, backbone=cfg.backbone,
         fine_width=cfg.fine_width, mid_width=cfg.mid_width,
     )
-    trainer = Trainer(gen, cfg, loss_mode=loss_mode)
+    trainer = Trainer(gen, cfg, mesh=mesh, loss_mode=loss_mode)
     sample = np.zeros((1, 128, 128, 3), np.float32)
     state = trainer.init_state(jax.random.PRNGKey(cfg.manual_seed), sample)
 
@@ -208,7 +228,12 @@ def train_net(
                      float(blob.get("train_time", 0.0))], np.float32,
                 )
             else:
-                blob = target
+                # Host-side zero placeholders: broadcast_one_to_all builds
+                # np.zeros_like of every non-primary leaf, which raises on
+                # the TP-sharded (non-addressable) live state arrays.
+                blob = jax.tree_util.tree_map(
+                    lambda x: np.zeros(x.shape, x.dtype), target
+                )
                 found = 1  # overwritten by the broadcast below
                 meta = np.zeros(2, np.float32)
             found = int(
@@ -232,6 +257,13 @@ def train_net(
             params=blob["params"], batch_stats=blob["batch_stats"],
             opt_state=blob["opt_state"],
         )
+        from fenet.parallel.tp import is_tp_mesh, shard_tree
+
+        if is_tp_mesh(trainer.mesh):
+            # The restored leaves are full host arrays; re-commit them to
+            # the Megatron shardings (params AND Adam moments) so the
+            # resumed state matches the jitted step's expectations.
+            state = shard_tree(state, trainer.mesh)
         start_epoch = int(blob.get("epoch", 0))
         all_epoch_time = float(blob.get("train_time", 0.0))
 
@@ -265,22 +297,27 @@ def train_net(
         # it (train.py:41 — dead there); here it is wired so long runs can
         # resume without waiting for the next validate epoch. 0 disables.
         if (
-            primary
-            and cfg.train_save_freq > 0
+            cfg.train_save_freq > 0
             and epoch % cfg.train_save_freq == 0
             and epoch not in tuple(cfg.validate_epochs)
         ):
-            save_checkpoint(
-                {
-                    "params": state.params,
-                    "batch_stats": state.batch_stats,
-                    "opt_state": state.opt_state,
-                    "epoch": epoch,
-                    "model_name": ckpt_dir,
-                    "train_time": all_epoch_time,
-                },
-                False, cat, ckpt_dir, epoch, fmt=cfg.ckpt_format,
-            )
+            # fetch_arrays is a collective under multi-host TP: EVERY
+            # process participates in the gather; only process 0 writes.
+            arrays = fetch_arrays({
+                "params": state.params,
+                "batch_stats": state.batch_stats,
+                "opt_state": state.opt_state,
+            })
+            if primary:
+                save_checkpoint(
+                    {
+                        **arrays,
+                        "epoch": epoch,
+                        "model_name": ckpt_dir,
+                        "train_time": all_epoch_time,
+                    },
+                    False, cat, ckpt_dir, epoch, fmt=cfg.ckpt_format,
+                )
 
         if epoch in tuple(cfg.validate_epochs) and len(val_ds):
             variables = {"params": state.params,
@@ -298,12 +335,17 @@ def train_net(
             )
             if is_best:
                 best_chamfer, best_emd = cd_m, emd_m
+            # Collective gather of host-sharded leaves (multi-host TP);
+            # a pure-dp state reads straight off the local replica.
+            ckpt_arrays = fetch_arrays({
+                "params": state.params,
+                "batch_stats": state.batch_stats,
+                "opt_state": state.opt_state,
+            })
             if primary:  # replicas hold identical state; one copy suffices
                 save_checkpoint(
                     {
-                        "params": state.params,
-                        "batch_stats": state.batch_stats,
-                        "opt_state": state.opt_state,
+                        **ckpt_arrays,
                         "epoch": epoch,
                         "model_name": ckpt_dir,
                         "best_chamfer_loss": float(

@@ -205,11 +205,16 @@ class Trainer:
             (total, (cd, emd, new_bs)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(state.params)
-            grads = jax.lax.pmean(grads, BATCH_AXIS)
-            total = jax.lax.pmean(total, BATCH_AXIS)
-            cd = jax.lax.pmean(cd, BATCH_AXIS)
-            emd = jax.lax.pmean(emd, BATCH_AXIS)
-            new_bs = jax.lax.pmean(new_bs, BATCH_AXIS)
+            if self.mesh.shape[BATCH_AXIS] > 1:
+                grads = jax.lax.pmean(grads, BATCH_AXIS)
+                total = jax.lax.pmean(total, BATCH_AXIS)
+                cd = jax.lax.pmean(cd, BATCH_AXIS)
+                emd = jax.lax.pmean(emd, BATCH_AXIS)
+                new_bs = jax.lax.pmean(new_bs, BATCH_AXIS)
+            # dp=1 (pure tensor parallelism): the batch-axis pmean is a
+            # mathematical no-op, and XLA's SPMD partitioner rejects a
+            # size-1 cross-partition allreduce inside the partial-manual
+            # region ("must be in (partial) manual partitioning mode").
 
             updates, new_opt = tx.update(grads, state.opt_state, state.params)
             updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
