@@ -195,6 +195,30 @@ def test_evaluate_dataset_batched(trained):
     assert cd_m.better_than(None)
 
 
+def test_eval_icp_stall_patience_lossless_on_trained_model(trained):
+    """The production eval default (ICP stall_patience=32) must reproduce
+    the strict full-budget reference semantics (patience 0, abs tolerance
+    only) on TRAINED-model predictions — the PARITY.md #11 claim, recorded
+    here on genuinely trained weights rather than synthetic rotations
+    (tests/test_geometry.py covers those). Predictions come from the
+    module-scope trained fixture; both eval steps see identical inputs, so
+    any metric difference is the stall detector's doing."""
+    from fenet.eval.runner import make_eval_step
+
+    trainer, state, _, (images, points), gen, _ = trained
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    kw = dict(mesh=trainer.mesh, icp_iterations=256, emd_iters=10)
+    strict_step, _ = make_eval_step(gen, icp_patience=0, **kw)
+    prod_step, _ = make_eval_step(gen, icp_patience=32, **kw)
+    img8 = images.astype(np.uint8)
+    strict = strict_step(variables, img8, points)
+    prod = prod_step(variables, img8, points)
+    for key in ("cd", "emd"):
+        np.testing.assert_array_equal(
+            np.asarray(strict[key]), np.asarray(prod[key]), err_msg=key,
+        )
+
+
 def test_train_step_full_8dev_mesh():
     """One step over all 8 fake devices: per-shard batch 1, pmean'd grads.
     With lr=0 the losses must match a 2-device run of the same batch
