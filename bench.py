@@ -38,7 +38,7 @@ def _probe_backend(attempts=3, timeout=150.0, wait=30.0):
     regression (the caller records it as an explicit JSON error)."""
     import subprocess
 
-    last = ""
+    last, outage = "", True
     for i in range(attempts):
         try:
             r = subprocess.run(
@@ -48,13 +48,19 @@ def _probe_backend(attempts=3, timeout=150.0, wait=30.0):
                 cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
             )
             if r.returncode == 0:
-                return True, r.stdout.strip()
+                return "ok", r.stdout.strip()
             last = (r.stderr or r.stdout).strip()[-400:]
+            # Only a backend-unavailable signature counts as a platform
+            # outage; anything else (ImportError, SIGSEGV, ...) is a code
+            # or environment regression and must NOT be waved off.
+            outage = ("UNAVAILABLE" in last
+                      or "Unable to initialize backend" in last)
         except subprocess.TimeoutExpired:
             last = f"backend init hung > {timeout:.0f}s (attempt {i + 1})"
+            outage = True
         if i < attempts - 1:
             time.sleep(wait)
-    return False, last
+    return ("outage" if outage else "error"), last
 
 
 def _unavailable_record(msg: str) -> dict:
@@ -268,15 +274,18 @@ def run_train_bench(mesh, batch=128, warmup=2, steps=3):
     return batch * steps_per_sec, steps_per_sec, batch * base_steps_per_sec
 
 
-def run_inference_bench(model, variables, mesh, batch=256, reps=20):
+def run_inference_bench(model, variables, mesh, batch=256, reps=20,
+                        deployed=None):
     """Serving throughput: deploy-folded forward only (image -> 1024-pt
-    cloud), inputs staged in HBM — the --deploy CLI path's compute rate."""
+    cloud), inputs staged in HBM — the --deploy CLI path's compute rate.
+    Pass ``deployed=(dep_model, dep_vars)`` to reuse one fold across a
+    batch-size sweep."""
     import jax
     import jax.numpy as jnp
 
     from fenet.models.generator import to_deploy
 
-    dep_model, dep_vars = to_deploy(model, variables)
+    dep_model, dep_vars = deployed or to_deploy(model, variables)
 
     @jax.jit
     def fwd(v, images):
@@ -523,12 +532,22 @@ def main(argv=None):
     opt = parser.parse_args(argv)
 
     if not opt.no_probe:
-        ok, msg = _probe_backend()
-        if not ok:
+        status, msg = _probe_backend()
+        if status == "outage":
             # Outage, not regression: record it as parseable JSON so the
             # round log distinguishes a down platform from a broken bench.
             print(json.dumps(_unavailable_record(msg)))
             return 0
+        if status == "error":
+            # Probe failed WITHOUT the unavailable signature — a code or
+            # environment regression; surface it loudly (nonzero exit).
+            print(json.dumps({
+                "metric": "shapenet_13cat_eval_throughput",
+                "value": None, "unit": "images/sec/chip",
+                "vs_baseline": None,
+                "error": f"bench_probe_failed: {msg}",
+            }))
+            return 1
     try:
         return _run(opt)
     except RuntimeError as e:  # backend died mid-run (flap after probe)
@@ -562,8 +581,12 @@ def _run(opt):
         model, variables, batches
     )
     train_ips, train_sps, train_base_ips = run_train_bench(mesh)
+    from fenet.models.generator import to_deploy
+
+    deployed = to_deploy(model, variables)  # fold once for the whole sweep
     serving_sweep = {
-        b: run_inference_bench(model, variables, mesh, batch=b)
+        b: run_inference_bench(model, variables, mesh, batch=b,
+                               deployed=deployed)
         for b in (256, 512, 1024)
     }
     serving_batch = max(serving_sweep, key=serving_sweep.get)

@@ -71,7 +71,7 @@ def _load_variables(gen: Generator, opt, cat: str):
 
 
 def main(argv=None):
-    from fenet.parallel.distributed import initialize
+    from fenet.parallel.distributed import initialize, shard_for_process
 
     initialize()
     parser = argparse.ArgumentParser()
@@ -96,6 +96,11 @@ def main(argv=None):
     parser.add_argument("--icp_patience", type=int, default=0,
                         help="0 = STRICT full-budget ICP (the golden "
                              "default); 32 = the fast eval mode")
+    parser.add_argument("--icp_rel_tolerance", type=float, default=None,
+                        help="fp32 plateau-exit threshold; default 0.0 "
+                             "(OFF) when --icp_patience is 0 so the strict "
+                             "golden mode really runs the full budget, "
+                             "1e-6 otherwise")
     parser.add_argument("--emd_iters", type=int, default=50)
     parser.add_argument("--split", type=str, default="val",
                         choices=("val", "train"),
@@ -103,6 +108,12 @@ def main(argv=None):
                              "(testnet.py evaluates val_models.json)")
     parser.add_argument("--out", type=str, default="goldens_shapenet.json")
     opt = parser.parse_args(argv)
+    if opt.icp_rel_tolerance is None:
+        # Strict goldens must not early-exit at all: the fp32 plateau test
+        # is a documented divergence (~0.1% metric impact, PARITY.md #11)
+        # and would silently leak into numbers meant to match the
+        # reference's full-budget host ICP.
+        opt.icp_rel_tolerance = 0.0 if opt.icp_patience == 0 else 1e-6
     print(opt)
 
     gen = Generator(num_points=opt.num_points, backbone=opt.backbone,
@@ -111,6 +122,7 @@ def main(argv=None):
 
     table = {"settings": {
         "icp": {"iterations": opt.icp_iters, "tolerance": 1e-10,
+                "rel_tolerance": opt.icp_rel_tolerance,
                 "patience": opt.icp_patience},
         "emd": {"eps": 0.005, "iters": opt.emd_iters},
         "metrics": "sqrt-EMD x100 / squared-CD x100 (utils/metrics.py)",
@@ -133,10 +145,12 @@ def main(argv=None):
             table["categories"][cat] = {"skipped": str(e)}
             print(cat, "SKIPPED:", e)
             continue
-        loader = DataLoader(ds, opt.batchSize, drop_last=False)
+        loader = DataLoader(shard_for_process(ds), opt.batchSize,
+                            drop_last=False)
         _, _, summary = evaluate_dataset(
             gen, variables, loader, category=cat, logger=None,
             icp_iterations=opt.icp_iters, icp_patience=opt.icp_patience,
+            icp_rel_tolerance=opt.icp_rel_tolerance,
             emd_iters=opt.emd_iters,
         )
         table["categories"][cat] = {
@@ -153,8 +167,9 @@ def main(argv=None):
     table["skipped"] = sorted(
         k for k, v in table["categories"].items() if "skipped" in v
     )
-    with open(opt.out, "w") as f:
-        json.dump(table, f, indent=1)
+    if jax.process_index() == 0:  # one writer; peers raced on shared fs
+        with open(opt.out, "w") as f:
+            json.dump(table, f, indent=1)
     print(json.dumps({"out": opt.out,
                       "recorded": len(done),
                       "skipped": len(table["skipped"]),

@@ -55,6 +55,7 @@ def make_eval_step(
     mesh=None,
     icp_iterations: int = 1024,
     icp_tolerance: float = 1e-10,
+    icp_rel_tolerance: float = 1e-6,
     icp_patience: int = 32,
     emd_eps: float = EVAL_EMD_EPS,
     emd_iters: int = EVAL_EMD_ITERS,
@@ -67,8 +68,8 @@ def make_eval_step(
     """
     mesh = mesh or make_mesh()
     try:  # flax Modules are frozen dataclasses -> hashable for typical configs
-        key = (model, mesh, icp_iterations, icp_tolerance, icp_patience,
-               emd_eps, emd_iters, align)
+        key = (model, mesh, icp_iterations, icp_tolerance,
+               icp_rel_tolerance, icp_patience, emd_eps, emd_iters, align)
         cached = _EVAL_STEP_CACHE.get(key)
     except TypeError:
         key, cached = None, None
@@ -83,7 +84,8 @@ def make_eval_step(
         if align:
             aligned = align_pred_to_gt(
                 pred, points, max_iterations=icp_iterations,
-                tolerance=icp_tolerance, stall_patience=icp_patience,
+                tolerance=icp_tolerance, rel_tolerance=icp_rel_tolerance,
+                stall_patience=icp_patience,
             )
         else:
             aligned = pred

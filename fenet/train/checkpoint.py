@@ -14,6 +14,7 @@ writes a ``.pth.tar`` the reference's own resume path can read;
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import shutil
@@ -46,13 +47,20 @@ def _fetch(leaf):
         leaf, "is_fully_replicated", False
     ):
         return jax.device_get(leaf)
+    return jax.device_get(_replicated_gather(leaf.sharding.mesh)(leaf))
+
+
+@functools.cache
+def _replicated_gather(mesh):
+    """One jitted all-gather-to-replicated per mesh for the process
+    lifetime: a fresh ``jax.jit(lambda x: x)`` per leaf per call would
+    defeat jit's cache and pay a remote-compile round trip for every
+    Megatron leaf at every checkpoint point."""
     from jax.sharding import NamedSharding, PartitionSpec
 
-    mesh = leaf.sharding.mesh
-    gathered = jax.jit(
+    return jax.jit(
         lambda x: x, out_shardings=NamedSharding(mesh, PartitionSpec())
-    )(leaf)
-    return jax.device_get(gathered)
+    )
 
 
 def fetch_arrays(tree):
@@ -76,6 +84,29 @@ def _split_state(state: Dict[str, Any]):
         if isinstance(v, (int, float, str, bool, type(None)))
     }
     return arrays, meta
+
+
+def latest_checkpoint(ckpt_dir: str, category: str,
+                      suffix: str = ".ckpt") -> Optional[str]:
+    """Path of the newest ``{category}_checkpoint_{epoch}{suffix}`` in
+    ``ckpt_dir`` (highest epoch), or None. Lets ``--resume`` fall back to
+    a ``--train_save_freq`` periodic checkpoint when no validation epoch
+    has produced ``model_best`` yet (crash before the first validate, or
+    a run with no val split)."""
+    import re
+
+    pat = re.compile(
+        re.escape(category) + r"_checkpoint_(\d+)" + re.escape(suffix) + r"$"
+    )
+    best_epoch, best_path = -1, None
+    if not os.path.isdir(ckpt_dir):
+        return None
+    for name in os.listdir(ckpt_dir):
+        m = pat.match(name)
+        if m and int(m.group(1)) > best_epoch:
+            best_epoch = int(m.group(1))
+            best_path = os.path.join(ckpt_dir, name)
+    return best_path
 
 
 def save_checkpoint(

@@ -203,6 +203,16 @@ def train_net(
     if cfg.resume:
         suffix = ".orbax" if cfg.ckpt_format == "orbax" else ".ckpt"
         path = os.path.join(ckpt_dir, f"model_best{suffix}")
+        if not os.path.exists(path) and (not n_proc > 1 or primary):
+            # No validate epoch has produced model_best yet — fall back to
+            # the newest --train_save_freq periodic checkpoint so those
+            # saves are actually resumable.
+            from fenet.train.checkpoint import latest_checkpoint
+
+            fallback = latest_checkpoint(ckpt_dir, cat, suffix)
+            if fallback is not None:
+                logger.info("resume: model_best missing, using %s", fallback)
+                path = fallback
         target = {
             "params": state.params,
             "batch_stats": state.batch_stats,
@@ -217,11 +227,14 @@ def train_net(
             if primary:
                 # Probe before entering the collective: raising here while
                 # the workers sit in broadcast_one_to_all would turn a clean
-                # FileNotFoundError into a cluster hang (collective watchdog).
+                # error into a cluster hang (collective watchdog). ANY load
+                # failure counts — a truncated/corrupt checkpoint raises
+                # from the msgpack/orbax layer, not FileNotFoundError.
                 try:
                     blob = load_checkpoint(path, target=target)
                     found = 1
-                except FileNotFoundError:
+                except Exception as e:
+                    logger.error("resume: loading %s failed: %r", path, e)
                     blob, found = target, 0
                 meta = np.asarray(
                     [float(blob.get("epoch", 0)),
@@ -243,7 +256,8 @@ def train_net(
             )
             if not found:
                 raise FileNotFoundError(
-                    f"--resume: checkpoint not found on process 0: {path}"
+                    f"--resume: checkpoint missing or unloadable on "
+                    f"process 0: {path} (see process 0's log)"
                 )
             arrays = multihost_utils.broadcast_one_to_all(
                 {k: blob[k] for k in ("params", "batch_stats", "opt_state")}
@@ -299,7 +313,10 @@ def train_net(
         if (
             cfg.train_save_freq > 0
             and epoch % cfg.train_save_freq == 0
-            and epoch not in tuple(cfg.validate_epochs)
+            # Skip only when a validation actually runs this epoch (it
+            # writes its own checkpoint); with no val split the validate
+            # branch is dead and the periodic save must still fire.
+            and not (epoch in tuple(cfg.validate_epochs) and len(val_ds))
         ):
             # fetch_arrays is a collective under multi-host TP: EVERY
             # process participates in the gather; only process 0 writes.

@@ -7,7 +7,7 @@ import os
 import numpy as np
 import pytest
 
-from fenet.data.synthetic import write_synthetic_shapenet
+from fenet.data.synthetic import SyntheticShapeNet, write_synthetic_shapenet
 from fenet.train.config import TrainConfig
 from fenet.train.driver import train_net
 
@@ -89,6 +89,33 @@ def test_resume_from_checkpoint(workdir, trained):
                           "validate_epochs": ()})
     result = train_net(CAT, cfg2)
     assert result["history"][0]["epoch"] == 2  # continued after epoch 1
+
+
+def test_periodic_checkpoint_resumable_without_val(workdir, trained):
+    """--train_save_freq checkpoints must (a) fire even with no val split
+    (the reference's dead flag, wired here), and (b) be resumable: with no
+    model_best on disk, --resume falls back to the newest periodic
+    checkpoint instead of raising."""
+    _, cfg = trained
+    out = os.path.join(workdir, "periodic_out") + "/"
+    cfg1 = TrainConfig(**{**cfg.__dict__, "dir_path": out,
+                          "validate_epochs": (1,), "train_save_freq": 1})
+    ds = SyntheticShapeNet(n_models=1, num_points=cfg.num_points)
+    r1 = train_net(CAT, cfg1, train_ds=ds, val_ds=EmptyDS())
+    ckpt_dir = r1["ckpt_dir"]
+    assert os.path.exists(os.path.join(ckpt_dir, f"{CAT}_checkpoint_1.ckpt"))
+    assert not os.path.exists(os.path.join(ckpt_dir, "model_best.ckpt"))
+    cfg2 = TrainConfig(**{**cfg1.__dict__, "resume": True, "nepoch": 2})
+    r2 = train_net(CAT, cfg2, train_ds=ds, val_ds=EmptyDS())
+    assert r2["history"][0]["epoch"] == 2  # resumed past epoch 1
+
+
+class EmptyDS:
+    def __len__(self):
+        return 0
+
+    def __getitem__(self, i):
+        raise IndexError(i)
 
 
 def test_render_cli(workdir, trained):
