@@ -1,0 +1,108 @@
+"""Export a trained checkpoint in deploy-folded serving form.
+
+The reference ships ``repvgg_model_convert`` (…_cmlp.py:440-448) — fold
+every RepVGGBlock's 3x3+1x1+identity branches and BN into one biased 3x3
+conv — but no driver ever invokes it and nothing persists the result. Here
+the fold is a pure weight transform (``models.generator.to_deploy``), and
+this CLI writes it to disk so serving systems load the folded weights
+directly (half the leaves, no batch_stats, no fold at startup):
+
+    python -m fenet.cli.export_deploy \\
+        --model ./output/fenet/%s/checkpoints/ --category 02828884
+
+The output (default ``<ckpt_dir>/model_deploy.ckpt``) holds ``{"params"}``
+for ``Generator(..., deploy=True)`` plus a JSON sidecar recording the
+architecture so the consumer can rebuild the module without guessing.
+Numerical equivalence of the folded forward is proven in
+tests/test_deploy.py; the exported-file roundtrip in tests/test_extras.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import numpy as np
+
+from fenet.models.generator import Generator, to_deploy
+from fenet.train.checkpoint import load_checkpoint
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model", type=str,
+                        default="./output/fenet/%s/checkpoints/",
+                        help="checkpoint dir pattern (%%s = category) or a "
+                             "direct path to a .ckpt/.orbax")
+    parser.add_argument("--category", type=str, default="02828884")
+    parser.add_argument("--out", type=str, default=None,
+                        help="output path; default "
+                             "<ckpt_dir>/model_deploy.ckpt")
+    parser.add_argument("--num_points", type=int, default=1024)
+    parser.add_argument("--backbone", type=str, default="RepVGG-A2")
+    parser.add_argument("--fine_width", type=int, default=512)
+    parser.add_argument("--mid_width", type=int, default=128)
+    opt = parser.parse_args(argv)
+
+    path = opt.model % opt.category if "%s" in opt.model else opt.model
+    if os.path.isdir(path) and not path.endswith(".orbax"):
+        path = os.path.join(path, "model_best.ckpt")
+
+    gen = Generator(num_points=opt.num_points, backbone=opt.backbone,
+                    fine_width=opt.fine_width, mid_width=opt.mid_width)
+    variables = gen.init(jax.random.PRNGKey(0),
+                         np.zeros((1, 128, 128, 3), np.float32), train=False)
+    blob = load_checkpoint(
+        path,
+        target={"params": variables["params"],
+                "batch_stats": variables["batch_stats"]},
+    )
+    _, deploy_vars = to_deploy(
+        gen, {"params": blob["params"], "batch_stats": blob["batch_stats"]}
+    )
+
+    out = opt.out or os.path.join(os.path.dirname(path), "model_deploy.ckpt")
+    import flax.serialization
+
+    with open(out, "wb") as f:
+        f.write(flax.serialization.to_bytes(deploy_vars))
+    meta = {
+        "deploy": True,
+        "num_points": opt.num_points,
+        "backbone": opt.backbone,
+        "fine_width": opt.fine_width,
+        "mid_width": opt.mid_width,
+        "source": path,
+    }
+    with open(out + ".json", "w") as f:
+        json.dump(meta, f)
+    print(json.dumps({"out": out, **meta}))
+    return out
+
+
+def load_deploy_checkpoint(path: str):
+    """(deploy_model, variables) from an exported deploy checkpoint — the
+    serving-side loader: rebuilds the Generator from the JSON sidecar and
+    restores the folded params with no fold at startup."""
+    import flax.serialization
+
+    with open(path + ".json") as f:
+        meta = json.load(f)
+    gen = Generator(
+        num_points=meta["num_points"], backbone=meta["backbone"],
+        fine_width=meta["fine_width"], mid_width=meta["mid_width"],
+        deploy=True,
+    )
+    template = gen.init(jax.random.PRNGKey(0),
+                        np.zeros((1, 128, 128, 3), np.float32), train=False)
+    with open(path, "rb") as f:
+        variables = flax.serialization.from_bytes(
+            {"params": template["params"]}, f.read()
+        )
+    return gen, variables
+
+
+if __name__ == "__main__":
+    main()

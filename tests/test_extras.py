@@ -88,3 +88,38 @@ def test_cli_parallelism_flags_reach_config():
     assert cfg.data_parallel == 4
     assert cfg.model_parallel == 2
     assert cfg.num_points == 2048
+
+
+def test_export_deploy_cli_roundtrip(tmp_path):
+    """export_deploy writes the folded serving checkpoint + sidecar;
+    load_deploy_checkpoint rebuilds the module and reproduces the branched
+    eval-mode forward exactly (the fold itself is exactness-tested in
+    test_deploy.py — this covers the on-disk roundtrip and the CLI)."""
+    import os
+
+    from fenet.cli.export_deploy import load_deploy_checkpoint, main
+    from fenet.models.generator import Generator
+    from fenet.train.checkpoint import save_checkpoint
+
+    gen = Generator(num_points=256, backbone="RepVGG-TEST",
+                    fine_width=32, mid_width=16)
+    rng = np.random.RandomState(0)
+    img = rng.rand(2, 128, 128, 3).astype(np.float32) * 255
+    variables = gen.init(jax.random.PRNGKey(1), img[:1], train=False)
+    ckpt_dir = str(tmp_path)
+    save_checkpoint(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"], "epoch": 1},
+        True, "t", ckpt_dir, 1,
+    )
+    out = main([
+        "--model", ckpt_dir, "--backbone", "RepVGG-TEST",
+        "--num_points", "256", "--fine_width", "32", "--mid_width", "16",
+    ])
+    assert os.path.exists(out) and os.path.exists(out + ".json")
+    dep_gen, dep_vars = load_deploy_checkpoint(out)
+    ref = gen.apply(variables, img, train=False)
+    got = dep_gen.apply(dep_vars, img, train=False)
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-3, atol=1e-3)
