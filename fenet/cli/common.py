@@ -56,6 +56,17 @@ def add_common_args(parser: argparse.ArgumentParser):
                         help=">0 gates the scaling phases on the NN-"
                              "competition fraction (adaptive scaling; "
                              "0.3 separates the regimes, 0 = always on)")
+    parser.add_argument("--emd_impl", type=str, default="auction",
+                        choices=("auction", "sinkhorn"),
+                        help="training EMD: 'auction' (reference "
+                             "semantics, default) or 'sinkhorn' — "
+                             "entropic OT with the same detached-plan "
+                             "gradient rule, a fixed-iteration dense "
+                             "alternative (opt-in)")
+    parser.add_argument("--sinkhorn_blur", type=float, default=0.01,
+                        help="sinkhorn FINAL entropic eps = blur^2 (the "
+                             "loop anneals down to it)")
+    parser.add_argument("--sinkhorn_iters", type=int, default=300)
     parser.add_argument("--validate_epochs", type=int, nargs="*",
                         default=[10, 30, 50],
                         help="epochs at which to validate + checkpoint "
@@ -96,6 +107,9 @@ def config_from_args(opt) -> TrainConfig:
         emd_iters=opt.emd_iters,
         emd_scale_phases=opt.emd_scale_phases,
         emd_scale_thresh=opt.emd_scale_thresh,
+        emd_impl=getattr(opt, "emd_impl", "auction"),
+        sinkhorn_blur=getattr(opt, "sinkhorn_blur", 0.01),
+        sinkhorn_iters=getattr(opt, "sinkhorn_iters", 300),
         validate_epochs=tuple(opt.validate_epochs),
         ckpt_format=getattr(opt, "ckpt_format", "flax"),
     )

@@ -59,3 +59,60 @@ def batch_emd_loss(x: jnp.ndarray, y: jnp.ndarray, blur: float = 0.01,
                    iters: int = 50) -> jnp.ndarray:
     """Mean Sinkhorn cost over the batch (batch_EMD_loss, loss_.py:111-120)."""
     return jnp.mean(sinkhorn_distance(x, y, blur, iters))
+
+
+def sinkhorn_emd_loss(pred: jnp.ndarray, gt: jnp.ndarray,
+                      blur: float = 0.01, iters: int = 300,
+                      eps0: float = 0.25) -> jnp.ndarray:
+    """Auction-compatible training EMD via entropic OT — the
+    ``--emd_impl sinkhorn`` path.
+
+    Same loss semantics as :func:`fenet.losses.facade.emd_loss` (mean over
+    points of sqrt matched squared distance, loss.py:18-28) with the
+    auction's hard assignment replaced by the Sinkhorn plan: per-point cost
+    ``cost_i = N * sum_j pi_ij * C_ij`` (rows of pi sum to 1/N), reducing to
+    the matched distance as the plan sharpens. Epsilon ANNEALS geometrically
+    from ``eps0`` down to ``blur**2`` over the first 2/3 of the budget —
+    plain fixed-eps Sinkhorn stalls at small eps (contraction rate dies as
+    exp(-diameter/eps)); annealed, the plan reaches permutation sharpness
+    and the LAP-optimal cost in a few hundred iterations (measured: equals
+    scipy LAP to 4 decimals at N=64, blur 0.005-0.02).
+
+    Gradient: the SAME detached-plan rule as the auction backward
+    (emd.py — grad treats the assignment as constant): the Sinkhorn
+    iterations run under ``stop_gradient``, gradients flow only through the
+    live cost matrix, so the backward is one weighted pairwise-difference
+    contraction — no (B, N, M) residual per iteration, no backprop through
+    the loop.
+    """
+    b, n, _ = pred.shape
+    m = gt.shape[1]
+    eps = blur * blur
+    c = pairwise_sqdist(pred, gt)  # live: the only gradient path
+    c0 = jax.lax.stop_gradient(c)
+    log_mu = jnp.full((b, n), -jnp.log(n))
+    log_nu = jnp.full((b, m), -jnp.log(m))
+    # Geometric annealing reaching the final eps at 2/3 of the budget; the
+    # remaining third polishes the potentials at the target sharpness.
+    q = (eps / eps0) ** (1.0 / max(1, (2 * iters) // 3))
+
+    def body(t, fg):
+        f, g = fg
+        e = jnp.maximum(eps, eps0 * q ** t)
+        f = -e * jax.scipy.special.logsumexp(
+            (g[:, None, :] - c0) / e + log_nu[:, None, :], axis=2
+        )
+        g = -e * jax.scipy.special.logsumexp(
+            (f[:, :, None] - c0) / e + log_mu[:, :, None], axis=1
+        )
+        return f, g
+
+    f, g = jax.lax.fori_loop(
+        0, iters, body, (jnp.zeros((b, n)), jnp.zeros((b, m)))
+    )
+    pi = jnp.exp(
+        (f[:, :, None] + g[:, None, :] - c0) / eps
+        + log_mu[:, :, None] + log_nu[:, None, :]
+    )  # detached plan: built from c0/f/g only
+    per_point = n * jnp.sum(pi * c, axis=2)  # (B, N)
+    return jnp.sqrt(jnp.maximum(per_point, 0.0)).mean(axis=1).mean()

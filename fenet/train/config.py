@@ -62,6 +62,15 @@ class TrainConfig:
     # False reproduces the reference driver's always-run-all-iters structure
     # (emd_cuda.cu:256); used by bench.py's reference-structured baseline.
     emd_early_exit: bool = True
+    # Training EMD implementation: 'auction' (reference semantics, the
+    # default) or 'sinkhorn' — entropic OT with a detached-plan gradient
+    # (the same constant-assignment backward rule as the auction), a
+    # dense-tensor fixed-iteration alternative that trades the auction's
+    # sequential price war for TPU-friendly batched reductions. Opt-in;
+    # documented in PARITY.md.
+    emd_impl: str = "auction"
+    sinkhorn_blur: float = 0.01  # final entropic eps = blur**2
+    sinkhorn_iters: int = 300
 
     # validation epochs (train.py:211)
     validate_epochs: Sequence[int] = (10, 30, 50)

@@ -85,6 +85,7 @@ def _trace_key(config: TrainConfig, loss_mode: str) -> tuple:
         loss_mode, config.weight_decay, config.lambda_cd, config.lambda_emd,
         config.emd_eps, config.emd_iters, config.emd_scale_phases,
         config.emd_early_exit, config.emd_scale_thresh,
+        config.emd_impl, config.sinkhorn_blur, config.sinkhorn_iters,
     )
     if loss_mode == "finetune":
         key += (config.lambda_bce, config.grid_h, config.grid_w,
@@ -175,11 +176,18 @@ class Trainer:
                     mutable=["batch_stats"],
                 )
                 cd = chamfer_loss(pc3, points)
-                emd = emd_loss(
-                    pc3, points, cfg.emd_eps, cfg.emd_iters,
-                    cfg.emd_scale_phases, cfg.emd_early_exit,
-                    cfg.emd_scale_thresh,
-                )
+                if cfg.emd_impl == "sinkhorn":
+                    from fenet.losses.sinkhorn import sinkhorn_emd_loss
+
+                    emd = sinkhorn_emd_loss(
+                        pc3, points, cfg.sinkhorn_blur, cfg.sinkhorn_iters
+                    )
+                else:
+                    emd = emd_loss(
+                        pc3, points, cfg.emd_eps, cfg.emd_iters,
+                        cfg.emd_scale_phases, cfg.emd_early_exit,
+                        cfg.emd_scale_thresh,
+                    )
                 if self.loss_mode == "finetune":
                     from fenet.geometry.projection import project_silhouettes
                     from fenet.losses.projection import get_loss_proj

@@ -254,3 +254,51 @@ def test_adaptive_scaling_training_equivalence():
     # Both runs must actually be optimizing (loss decreasing).
     assert strict[-1][1] < strict[0][1]
     assert adaptive[-1][1] < adaptive[0][1]
+
+
+def test_sinkhorn_training_mode_tracks_auction():
+    """--emd_impl sinkhorn end-to-end evidence: a short training run with
+    the annealed Sinkhorn EMD from the same init on the same data optimizes
+    the same objective as the auction — losses finite and decreasing, and
+    the final CD/EMD land close to the auction run's (the op-level
+    LAP-equality tests bound the loss semantics; this checks nothing breaks
+    through actual optimization: gradients, BN mutation, Adam)."""
+    n, b, steps = 256, 4, 6
+
+    def run(emd_impl):
+        cfg = TrainConfig(
+            batch_size=b, num_points=n, emd_eps=0.05, emd_iters=500,
+            backbone="RepVGG-TEST", fine_width=32, mid_width=16,
+            data_parallel=1, emd_impl=emd_impl,
+        )
+        gen = Generator(num_points=n, backbone="RepVGG-TEST",
+                        fine_width=32, mid_width=16)
+        trainer = Trainer(gen, cfg)
+        state = trainer.init_state(
+            jax.random.PRNGKey(7), np.zeros((1, 128, 128, 3), np.float32)
+        )
+        rng = np.random.RandomState(3)
+        history = []
+        for _ in range(steps):
+            img = (rng.rand(b, 128, 128, 3) * 255).astype(np.float32)
+            pts = (rng.rand(b, n, 3) * 0.9).astype(np.float32)
+            state, stats = trainer.train_step(
+                state, jnp.asarray(img), jnp.asarray(pts), epoch=1,
+                lr=5e-4,
+            )
+            history.append(
+                (float(stats["chamfer_loss"]), float(stats["emd_loss"]))
+            )
+        return history
+
+    auction = run("auction")
+    sinkhorn = run("sinkhorn")
+
+    assert all(np.isfinite(v) for h in sinkhorn for v in h)
+    assert sinkhorn[-1][1] < sinkhorn[0][1]  # optimizing
+    for k, name in ((0, "chamfer"), (1, "emd")):
+        a, s = auction[-1][k], sinkhorn[-1][k]
+        assert abs(s - a) / max(abs(a), 1e-6) < 0.15, (
+            f"{name} diverged: auction={a} sinkhorn={s}\n"
+            f"auction hist={auction}\nsinkhorn hist={sinkhorn}"
+        )
