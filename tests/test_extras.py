@@ -188,3 +188,26 @@ def test_sinkhorn_emd_loss_gradient_matches_lap_direction():
         (g_sk @ g_lap) / (np.linalg.norm(g_sk) * np.linalg.norm(g_lap))
     )
     assert cos > 0.99, cos
+
+
+def test_sinkhorn_pallas_kernel_matches_xla_loop():
+    """The VMEM-resident Pallas potentials kernel (interpret mode here)
+    must reproduce the XLA fori_loop's annealed potentials — same
+    iteration-by-iteration math, different residency."""
+    from fenet.losses import sinkhorn as sk
+    from fenet.ops.pairwise import pairwise_sqdist
+    from fenet.ops.sinkhorn import sinkhorn_potentials
+
+    rng = np.random.RandomState(9)
+    x = jnp.asarray(rng.rand(2, 128, 3).astype(np.float32))
+    y = jnp.asarray(rng.rand(2, 128, 3).astype(np.float32))
+    eps, iters = 1e-4, 150
+
+    c0 = pairwise_sqdist(x, y)
+    # On the CPU test backend _potentials always takes the XLA loop.
+    f_ref, g_ref = sk._potentials(x, y, c0, eps, iters, 0.25)
+    f_k, g_k = sinkhorn_potentials(x, y, eps, iters, 0.25, interpret=True)
+    np.testing.assert_allclose(np.asarray(f_k), np.asarray(f_ref),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-5)
