@@ -234,10 +234,11 @@ def run_train_bench(mesh, batch=128, warmup=2, steps=3):
     images = rng.rand(batch, 128, 128, 3).astype(np.float32) * 255
     points = rng.rand(batch, 1024, 3).astype(np.float32) * 0.9
 
-    def timed_steps(early_exit, n_steps, n_warmup):
+    def timed_steps(early_exit, n_steps, n_warmup, emd_impl="auction"):
         # The baseline (early_exit=False) also pins strict fixed-eps mode:
         # the reference auction has no epsilon-scaling (emd_cuda.cu:256).
-        cfg = TrainConfig(batch_size=batch, emd_early_exit=early_exit)
+        cfg = TrainConfig(batch_size=batch, emd_early_exit=early_exit,
+                          emd_impl=emd_impl)
         if not early_exit:
             cfg.emd_scale_phases, cfg.emd_scale_thresh = 1, 0.0
         model = Generator(num_points=1024, backbone=cfg.backbone)
@@ -271,7 +272,12 @@ def run_train_bench(mesh, batch=128, warmup=2, steps=3):
     # strongly on the training state (how far predictions sit from the
     # targets), so both sides must be timed from the same step index.
     base_steps_per_sec = timed_steps(False, 1, warmup)
-    return batch * steps_per_sec, steps_per_sec, batch * base_steps_per_sec
+    # The opt-in annealed-Sinkhorn EMD (--emd_impl sinkhorn, VMEM-resident
+    # Pallas potentials loop): fixed cost regardless of training state.
+    sinkhorn_steps_per_sec = timed_steps(True, steps, warmup,
+                                         emd_impl="sinkhorn")
+    return (batch * steps_per_sec, steps_per_sec,
+            batch * base_steps_per_sec, batch * sinkhorn_steps_per_sec)
 
 
 def run_inference_bench(model, variables, mesh, batch=256, reps=20,
@@ -580,7 +586,9 @@ def _run(opt):
     ref_throughput, ref_wall = run_reference_structured(
         model, variables, batches
     )
-    train_ips, train_sps, train_base_ips = run_train_bench(mesh)
+    train_ips, train_sps, train_base_ips, train_sk_ips = run_train_bench(
+        mesh
+    )
     from fenet.models.generator import to_deploy
 
     deployed = to_deploy(model, variables)  # fold once for the whole sweep
@@ -638,6 +646,12 @@ def _run(opt):
                     "same jitted step with auction early-exit disabled "
                     "(reference always runs all 3000 iterations, "
                     "emd_cuda.cu:256); same-chip proxy"
+                ),
+                "sinkhorn_images_per_sec": round(train_sk_ips, 3),
+                "sinkhorn_note": (
+                    "opt-in --emd_impl sinkhorn (annealed entropic OT, "
+                    "VMEM-resident Pallas potentials loop, blur=0.01 x "
+                    "300 iters); same step otherwise"
                 ),
             },
         },
