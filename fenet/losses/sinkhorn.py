@@ -111,14 +111,24 @@ def _potentials(pred, gt, c0, eps, iters, eps0):
     shape), which the kernel reduces to zero per-iteration HBM traffic."""
     b, n, _ = pred.shape
     m = gt.shape[1]
-    from fenet.ops.sinkhorn import MAX_N_IN_VMEM, sinkhorn_potentials
+    from fenet.ops.sinkhorn import (
+        MAX_N_IN_VMEM,
+        MAX_N_STREAMING,
+        sinkhorn_potentials,
+        sinkhorn_potentials_stream,
+    )
 
-    if (
-        jax.default_backend() == "tpu"
-        and n <= MAX_N_IN_VMEM and m <= MAX_N_IN_VMEM
-        and n % 128 == 0 and m % 128 == 0  # lane/sublane tiling
-    ):
-        return sinkhorn_potentials(pred, gt, eps, iters, eps0)
+    if jax.default_backend() == "tpu":
+        if (
+            n <= MAX_N_IN_VMEM and m <= MAX_N_IN_VMEM
+            and n % 128 == 0 and m % 128 == 0  # lane/sublane tiling
+        ):
+            return sinkhorn_potentials(pred, gt, eps, iters, eps0)
+        if (
+            n <= MAX_N_STREAMING and m <= MAX_N_STREAMING
+            and n % 256 == 0 and m % 128 == 0  # row chunks of 256
+        ):
+            return sinkhorn_potentials_stream(pred, gt, eps, iters, eps0)
 
     log_mu = jnp.full((b, n), -jnp.log(n))
     log_nu = jnp.full((b, m), -jnp.log(m))

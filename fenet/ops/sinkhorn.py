@@ -32,6 +32,12 @@ from jax.experimental.pallas import tpu as pltpu
 _COORD_PAD = 8
 # (N, M) cost matrix + one exp temporary must fit VMEM (~16 MB/core).
 MAX_N_IN_VMEM = 1024
+# Streaming mode: row chunks of the cost matrix recomputed from coordinates
+# each iteration (the ops/emd.py streaming design); per-chunk temporaries
+# bound the reach.
+_CHUNK = 256
+MAX_N_STREAMING = 8192
+_NEG = -1e30  # streaming-LSE "minus infinity" (finite, fp32-safe)
 
 
 def _sinkhorn_kernel(
@@ -94,6 +100,146 @@ def _sinkhorn_kernel(
 
     jax.lax.fori_loop(0, iters, body, 0)
     f_ref[:, :] = fcol_ref[:, :].reshape(1, n)
+
+
+def _sinkhorn_stream_kernel(
+    x_ref,  # (1, N, CPAD) in VMEM
+    y_ref,  # (1, M, CPAD)
+    f_ref,  # (1, N) out f32
+    g_out_ref,  # (1, M) out f32
+    fcol_ref,  # (N, 1) scratch f32
+    g_ref,  # (1, M) scratch f32
+    gmax_ref,  # (1, M) scratch f32 (streaming-LSE running max)
+    gsum_ref,  # (1, M) scratch f32 (streaming-LSE running sum)
+    *,
+    n: int,
+    m: int,
+    eps: float,
+    iters: int,
+    eps0: float,
+):
+    """Streaming variant for N, M beyond the resident cap: the cost matrix
+    is recomputed from coordinates one row-chunk per pass (MXU matmul —
+    coords stay in VMEM), and ONE pass per chunk serves both updates: the
+    chunk's f rows (lane-dim LSE) and the g update's sublane-dim LSE
+    accumulated as a running (max, sum) pair across chunks. Same
+    Gauss-Seidel order as the resident kernel and the XLA loop (g uses the
+    new f)."""
+    x = x_ref[0]
+    y = y_ref[0]
+    bb = jnp.sum(y * y, axis=1, keepdims=True)  # (M, 1)
+
+    log_mu = -math.log(n)
+    log_nu = -math.log(m)
+    q = (eps / eps0) ** (1.0 / max(1, (2 * iters) // 3))
+    log_q = math.log(q)
+    n_chunks = n // _CHUNK
+
+    fcol_ref[:, :] = jnp.zeros((n, 1), jnp.float32)
+    g_ref[:, :] = jnp.zeros((1, m), jnp.float32)
+
+    def cost_chunk(c_idx):
+        xc = x_ref[0, pl.ds(c_idx * _CHUNK, _CHUNK), :]
+        aa = jnp.sum(xc * xc, axis=1, keepdims=True)
+        ab = jax.lax.dot_general(
+            xc, y, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return jnp.maximum(aa + bb.T - 2.0 * ab, 0.0)  # (_CHUNK, M)
+
+    def body(t, _):
+        e = jnp.maximum(
+            jnp.float32(eps), jnp.float32(eps0) * jnp.exp(log_q * t)
+        )
+        gmax_ref[:, :] = jnp.full((1, m), _NEG, jnp.float32)
+        gsum_ref[:, :] = jnp.zeros((1, m), jnp.float32)
+
+        def chunk(c_idx, _):
+            c = cost_chunk(c_idx)
+            # f rows of this chunk (reduce over lanes, keepdims).
+            z = (g_ref[0:1, :] - c) / e + log_nu
+            zmax = jnp.max(z, axis=1, keepdims=True)
+            f = -e * (
+                jnp.log(jnp.sum(jnp.exp(z - zmax), axis=1, keepdims=True))
+                + zmax
+            )
+            fcol_ref[pl.ds(c_idx * _CHUNK, _CHUNK), :] = f
+            # Accumulate the g update's LSE over rows as a running
+            # (max, sum): new_max = max(run, chunk);
+            # sum <- sum*exp(run-new) + chunk_sum*exp(chunk-new).
+            w = (f - c) / e + log_mu
+            wmax = jnp.max(w, axis=0, keepdims=True)  # (1, M)
+            wsum = jnp.sum(jnp.exp(w - wmax), axis=0, keepdims=True)
+            run_max = gmax_ref[0:1, :]
+            new_max = jnp.maximum(run_max, wmax)
+            gsum_ref[:, :] = (
+                gsum_ref[0:1, :] * jnp.exp(run_max - new_max)
+                + wsum * jnp.exp(wmax - new_max)
+            )
+            gmax_ref[:, :] = new_max
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, chunk, 0)
+        g_ref[:, :] = -e * (
+            jnp.log(gsum_ref[0:1, :]) + gmax_ref[0:1, :]
+        )
+        return 0
+
+    jax.lax.fori_loop(0, iters, body, 0)
+    f_ref[:, :] = fcol_ref[:, :].reshape(1, n)
+    g_out_ref[:, :] = g_ref[:, :]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("eps", "iters", "eps0", "interpret")
+)
+def sinkhorn_potentials_stream(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    eps: float,
+    iters: int,
+    eps0: float = 0.25,
+    interpret: bool = False,
+):
+    """Streaming-kernel potentials for N % 256 == 0 up to
+    ``MAX_N_STREAMING`` — O(N/chunk) VMEM instead of the O(N*M) resident
+    cost matrix."""
+    b, n, _ = x.shape
+    m = y.shape[1]
+    xp = jnp.zeros((b, n, _COORD_PAD), jnp.float32).at[:, :, :3].set(
+        x.astype(jnp.float32)
+    )
+    yp = jnp.zeros((b, m, _COORD_PAD), jnp.float32).at[:, :, :3].set(
+        y.astype(jnp.float32)
+    )
+    kernel = functools.partial(
+        _sinkhorn_stream_kernel, n=n, m=m, eps=eps, iters=iters, eps0=eps0
+    )
+    f, g = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, n, _COORD_PAD), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, m, _COORD_PAD), lambda i: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, n), lambda i: (i, 0)),
+            pl.BlockSpec((1, m), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, m), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n, 1), jnp.float32),
+            pltpu.VMEM((1, m), jnp.float32),
+            pltpu.VMEM((1, m), jnp.float32),
+            pltpu.VMEM((1, m), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xp, yp)
+    return f, g
 
 
 @functools.partial(

@@ -211,3 +211,28 @@ def test_sinkhorn_pallas_kernel_matches_xla_loop():
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_sinkhorn_stream_kernel_matches_xla_loop():
+    """The streaming potentials kernel (row-chunk cost recompute + running
+    (max, sum) LSE accumulation for the g update) must reproduce the XLA
+    loop exactly — it lifts the resident kernel's N<=1024 VMEM cap to 8192
+    (the ops/emd.py streaming design)."""
+    from fenet.losses import sinkhorn as sk
+    from fenet.ops.pairwise import pairwise_sqdist
+    from fenet.ops.sinkhorn import sinkhorn_potentials_stream
+
+    rng = np.random.RandomState(12)
+    # N=512 = 2 chunks of 256: exercises the cross-chunk accumulation.
+    x = jnp.asarray(rng.rand(1, 512, 3).astype(np.float32))
+    y = jnp.asarray(rng.rand(1, 512, 3).astype(np.float32))
+    eps, iters = 1e-4, 120
+
+    c0 = pairwise_sqdist(x, y)
+    f_ref, g_ref = sk._potentials(x, y, c0, eps, iters, 0.25)
+    f_k, g_k = sinkhorn_potentials_stream(x, y, eps, iters, 0.25,
+                                          interpret=True)
+    np.testing.assert_allclose(np.asarray(f_k), np.asarray(f_ref),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-5)
