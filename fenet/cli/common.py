@@ -67,6 +67,11 @@ def add_common_args(parser: argparse.ArgumentParser):
                         help="sinkhorn FINAL entropic eps = blur^2 (the "
                              "loop anneals down to it)")
     parser.add_argument("--sinkhorn_iters", type=int, default=300)
+    parser.add_argument("--sync_bn", type=int, default=1,
+                        help="1 (default): on dp>1 meshes, BatchNorm "
+                             "normalizes with GLOBAL batch statistics "
+                             "(the reference's single-GPU semantics); "
+                             "0: per-replica BN (torch-DDP style)")
     parser.add_argument("--validate_epochs", type=int, nargs="*",
                         default=[10, 30, 50],
                         help="epochs at which to validate + checkpoint "
@@ -110,6 +115,7 @@ def config_from_args(opt) -> TrainConfig:
         emd_impl=getattr(opt, "emd_impl", "auction"),
         sinkhorn_blur=getattr(opt, "sinkhorn_blur", 0.01),
         sinkhorn_iters=getattr(opt, "sinkhorn_iters", 300),
+        sync_bn=bool(getattr(opt, "sync_bn", 1)),
         validate_epochs=tuple(opt.validate_epochs),
         ckpt_format=getattr(opt, "ckpt_format", "flax"),
     )

@@ -20,7 +20,7 @@ Design changes vs the reference, all documented divergences:
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -70,6 +70,7 @@ class EdgeBranch(nn.Module):
     """
 
     deploy: bool = False
+    bn_axis: Optional[str] = None  # sync-BN mesh axis (see repvgg._bn)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -81,7 +82,7 @@ class EdgeBranch(nn.Module):
                 use_bias=self.deploy, name=f"{name}_conv",
             )(inp)
             if not self.deploy:
-                out = _bn(f"{name}_bn", train)(out)
+                out = _bn(f"{name}_bn", train, self.bn_axis)(out)
             return nn.relu(out)
 
         e = conv(16, "edge0", img)  # (B, 64, 64, 16)
@@ -156,12 +157,18 @@ class Generator(nn.Module):
     deploy: bool = False
     fine_width: int = 512
     mid_width: int = 128
+    # Sync-BN mesh axis (repvgg._bn): set by the Trainer on dp>1 meshes so
+    # train-mode BN normalizes with GLOBAL batch statistics (the
+    # reference's single-GPU batch-128 semantics); None = per-replica BN.
+    bn_axis: Optional[str] = None
 
     def setup(self):
-        self.edge = EdgeBranch(deploy=self.deploy, name="edge")
+        self.edge = EdgeBranch(deploy=self.deploy, bn_axis=self.bn_axis,
+                               name="edge")
         self.backbone_net = RepVGG(
             config=REPVGG_CONFIGS[self.backbone],
             deploy=self.deploy,
+            bn_axis=self.bn_axis,
             name="RepVGG",
         )
         self.decoder = CascadedDecoder(

@@ -55,11 +55,18 @@ def _conv(out, kernel, stride, padding, groups, name):
     )
 
 
-def _bn(name, train):
+def _bn(name, train, axis_name=None):
+    """``axis_name`` enables sync-BN: batch statistics psum'd over that
+    mapped mesh axis, so a sharded train step normalizes with the GLOBAL
+    batch's statistics — the reference's single-GPU batch-128 semantics
+    (train.py:36) — instead of per-replica ones. Only legal where the axis
+    is bound (inside the trainer's shard_map); eval/init run
+    use_running_average and never touch it."""
     return nn.BatchNorm(
         use_running_average=not train,
         momentum=_BN_MOMENTUM,
         epsilon=_BN_EPS,
+        axis_name=axis_name,
         name=name,
     )
 
@@ -72,6 +79,7 @@ class RepVGGBlock(nn.Module):
     groups: int = 1
     use_se: bool = False
     deploy: bool = False
+    bn_axis: Optional[str] = None  # sync-BN mesh axis (see _bn)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -87,17 +95,17 @@ class RepVGGBlock(nn.Module):
                 name="rbr_reparam",
             )(x)
         else:
-            dense = _bn("rbr_dense_bn", train)(
+            dense = _bn("rbr_dense_bn", train, self.bn_axis)(
                 _conv(self.out_channels, 3, self.stride, 1, self.groups,
                       "rbr_dense_conv")(x)
             )
-            one = _bn("rbr_1x1_bn", train)(
+            one = _bn("rbr_1x1_bn", train, self.bn_axis)(
                 _conv(self.out_channels, 1, self.stride, 0, self.groups,
                       "rbr_1x1_conv")(x)
             )
             out = dense + one
             if in_channels == self.out_channels and self.stride == 1:
-                out = out + _bn("rbr_identity", train)(x)
+                out = out + _bn("rbr_identity", train, self.bn_axis)(x)
         if self.use_se:
             out = SEBlock(
                 self.out_channels, self.out_channels // 16, name="se"
@@ -152,6 +160,7 @@ class RepVGG(nn.Module):
 
     config: RepVGGConfig
     deploy: bool = False
+    bn_axis: Optional[str] = None  # sync-BN mesh axis (see _bn)
 
     def _stage_plan(self):
         """(name, out_channels, stride, groups) for every block, in order."""
@@ -181,6 +190,7 @@ class RepVGG(nn.Module):
                 groups=groups,
                 use_se=cfg.use_se,
                 deploy=self.deploy,
+                bn_axis=self.bn_axis,
                 name=name,
             )
             for name, planes, stride, groups in self._stage_plan()

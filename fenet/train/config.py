@@ -71,6 +71,11 @@ class TrainConfig:
     emd_impl: str = "auction"
     sinkhorn_blur: float = 0.01  # final entropic eps = blur**2
     sinkhorn_iters: int = 300
+    # Sync-BN on dp>1 meshes: train-mode BatchNorm statistics psum'd over
+    # the batch axis, reproducing the reference's single-GPU global-batch
+    # semantics (train.py:36) at any device count. False = per-replica BN
+    # (the torch-DDP default).
+    sync_bn: bool = True
 
     # validation epochs (train.py:211)
     validate_epochs: Sequence[int] = (10, 30, 50)

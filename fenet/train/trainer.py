@@ -105,7 +105,6 @@ class Trainer:
 
     def __init__(self, model, config: TrainConfig, mesh=None,
                  loss_mode: str = "schedule"):
-        self.model = model
         self.config = config
         self.loss_mode = loss_mode
         if mesh is not None:
@@ -117,6 +116,17 @@ class Trainer:
                                         config.model_parallel)
         else:
             self.mesh = make_mesh(config.data_parallel)
+        if (
+            config.sync_bn
+            and getattr(model, "bn_axis", "absent") is None
+            and self.mesh.shape[BATCH_AXIS] > 1
+        ):
+            # Sync-BN: normalize with GLOBAL batch statistics (psum over
+            # the batch axis inside the shard_map'd step) — the reference's
+            # single-GPU batch-128 semantics at any dp. Per-replica BN
+            # (sync_bn=False) is the torch-DDP-style alternative.
+            model = model.clone(bn_axis=BATCH_AXIS)
+        self.model = model
         self.tx = make_optimizer(config.weight_decay)
         try:
             key = (model, self.mesh) + _trace_key(config, loss_mode)

@@ -246,13 +246,11 @@ def test_train_step_full_8dev_mesh():
 
     s8 = one_step(8)
     s2 = one_step(2)
-    # Not bit-equal by design: train-mode BatchNorm normalizes with the
-    # LOCAL shard's statistics (1 sample/shard at dp=8 vs 4 at dp=2 — the
-    # standard sync-free per-replica BN, as in torch DDP), which shifts the
-    # forward by O(1e-3) relative.  5% still catches a broken pmean or
-    # sharding (those are order-1 wrong).
+    # sync_bn (the default) gives every dp the GLOBAL batch's BN statistics
+    # (round-3 change; with sync_bn=False the per-replica statistics shift
+    # the forward by O(1e-3) relative between shardings).
     for key in s2:
-        np.testing.assert_allclose(s8[key], s2[key], rtol=5e-2, err_msg=key)
+        np.testing.assert_allclose(s8[key], s2[key], rtol=5e-4, err_msg=key)
 
 
 def test_finetune_loss_mode():

@@ -335,9 +335,8 @@ def test_sinkhorn_mode_matches_across_dp_mesh():
 
     one = run(1)
     two = run(2)
-    # Not bit-equal by design: train-mode BatchNorm normalizes with the
-    # LOCAL shard's statistics (sync-free per-replica BN, see
-    # test_train.py::test_train_step_full_8dev_mesh) — ~2% shift here;
-    # a broken pmean/sharding is order-1 wrong.
+    # sync_bn (the default) normalizes with GLOBAL batch statistics at any
+    # dp, so dp=2 matches dp=1 to reduction order. (With sync_bn=False the
+    # per-replica BN statistics shift this by ~2%.)
     for k in one:
-        np.testing.assert_allclose(two[k], one[k], rtol=5e-2, err_msg=k)
+        np.testing.assert_allclose(two[k], one[k], rtol=2e-4, err_msg=k)
