@@ -135,8 +135,17 @@ def evaluate_dataset(
     # fenet.parallel.distributed.ProcessShardDataset); pad it so the
     # assembled global batch divides over the full mesh.
     local_dev = n_dev // mesh_procs
+    # Wrap-around padding of a ProcessShardDataset sits at the END of the
+    # shard (distributed.ProcessShardDataset.wrap_duplicates): those samples
+    # still run through the step (equal step counts across processes — each
+    # step is a collective) but are excluded from the sums, so multi-host
+    # metric totals are EXACT, not duplicate-biased — the golden recorder
+    # inherits this.
+    shard_ds = getattr(dataloader, "dataset", None)
+    n_dup = int(getattr(shard_ds, "wrap_duplicates", 0))
+    tally_limit = (len(shard_ds) - n_dup) if shard_ds is not None else None
     emd_sum = cd_sum = 0.0
-    n_samples = 0
+    n_samples = seen = 0
     t0 = time.time()
     for i, batch in enumerate(dataloader, start=1):
         images, points = batch["image"], batch["points"]
@@ -147,11 +156,15 @@ def evaluate_dataset(
             points = np.concatenate([points, points[-1:].repeat(pad, 0)])
         sharded = shard_batch({"image": images, "points": points}, mesh)
         out = step(variables, sharded["image"], sharded["points"])
+        take = valid
+        if tally_limit is not None:
+            take = min(valid, max(tally_limit - seen, 0))
+        seen += valid
         emd = _local_values(out["emd"])[:valid]
         cd = _local_values(out["cd"])[:valid]
-        emd_sum += float(emd.sum())
-        cd_sum += float(cd.sum())
-        n_samples += valid
+        emd_sum += float(emd[:take].sum())
+        cd_sum += float(cd[:take].sum())
+        n_samples += take
         if logger is not None:
             logger.info(
                 "Test[%d/%d] Taxonomy = %s Metrics = %s",

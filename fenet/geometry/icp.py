@@ -214,8 +214,10 @@ def batched_icp(
     "error stopped changing" semantics at fp32 precision. Set it to 0 to
     force the literal absolute test.
 
-    ``stall_patience``: stop an element whose best error hasn't improved by
-    more than the plateau threshold for this many consecutive iterations.
+    ``stall_patience``: stop an element whose error hasn't dropped by more
+    than the plateau threshold, cumulatively, over this many consecutive
+    iterations (sub-threshold but steady progress keeps re-arming the
+    window; rounding-noise drift at the floor does not).
     Plateau/period-2 tests catch clean convergence and clean oscillation,
     but an element wandering a flat error landscape (period-3+, or drift at
     the noise floor) defeats both and burns the whole budget — measured:
@@ -252,14 +254,22 @@ def batched_icp(
         best_err = jnp.where(improved, err, state["best_err"])
         best_src = jnp.where(improved[:, None, None], src, state["best_src"])
         if stall_patience > 0:
-            # Reset on ANY best-error improvement (not only >thr ones):
-            # an element improving steadily by sub-thr increments is still
-            # making cumulative progress and must not be stall-stopped —
-            # only elements whose best error is genuinely flat time out.
-            stall = jnp.where(improved, 0, state["stall"] + 1)
+            # Cumulative-improvement window: reset the counter only when the
+            # error has dropped by more than the plateau threshold since the
+            # LAST reset (tracked in stall_ref). An element improving
+            # steadily by sub-thr increments keeps accumulating progress
+            # against stall_ref and resets before the patience runs out,
+            # while one ticking down by fp32 rounding noise at the floor
+            # (cumulative drop < thr over the whole window) still times out
+            # — resetting on ANY 1-ulp improvement would let such elements
+            # burn the full budget, which is what the patience exists to
+            # stop.
+            progressed = (~done) & (state["stall_ref"] - err > thr)
+            stall = jnp.where(progressed, 0, state["stall"] + 1)
+            stall_ref = jnp.where(progressed, err, state["stall_ref"])
             newly_done = newly_done | (stall >= stall_patience)
         else:
-            stall = state["stall"]
+            stall, stall_ref = state["stall"], state["stall_ref"]
         return {
             "src": jnp.where(done[:, None, None], src, new_src),
             "err1": jnp.where(done, state["err1"], err),
@@ -269,6 +279,7 @@ def batched_icp(
             "best_err": best_err,
             "best_src": best_src,
             "stall": stall,
+            "stall_ref": stall_ref,
         }
 
     state = jax.lax.while_loop(
@@ -283,6 +294,7 @@ def batched_icp(
             "best_err": jnp.full((bsz,), jnp.inf, jnp.float32),
             "best_src": a,
             "stall": jnp.zeros((bsz,), jnp.int32),
+            "stall_ref": jnp.full((bsz,), jnp.inf, jnp.float32),
         },
     )
     src = state["best_src"]

@@ -88,6 +88,13 @@ def sinkhorn_emd_loss(pred: jnp.ndarray, gt: jnp.ndarray,
     b, n, _ = pred.shape
     m = gt.shape[1]
     eps = blur * blur
+    # Anneal START must not sit below the target: with blur**2 >= eps0 the
+    # geometric schedule's ratio q would exceed 1 and eps would GROW past
+    # the target for the last third of the budget, leaving the potentials
+    # converged at a larger eps than the one the plan below is exponentiated
+    # with (mis-normalized pi, silently wrong loss). Degenerates to fixed-eps
+    # Sinkhorn when eps == eps0.
+    eps0 = max(eps0, eps)
     c = pairwise_sqdist(pred, gt)  # live: the only gradient path
     c0 = jax.lax.stop_gradient(c)
     f, g = _potentials(

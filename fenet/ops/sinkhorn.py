@@ -205,6 +205,7 @@ def sinkhorn_potentials_stream(
     """Streaming-kernel potentials for N % 256 == 0 up to
     ``MAX_N_STREAMING`` — O(N/chunk) VMEM instead of the O(N*M) resident
     cost matrix."""
+    eps0 = max(eps0, eps)  # q <= 1: anneal must not grow past the target
     b, n, _ = x.shape
     m = y.shape[1]
     xp = jnp.zeros((b, n, _COORD_PAD), jnp.float32).at[:, :, :3].set(
@@ -257,6 +258,7 @@ def sinkhorn_potentials(
     marginals under squared-euclidean cost; x (B, N, 3), y (B, M, 3) ->
     (B, N), (B, M). VMEM-resident Pallas path for N, M <= 1024; the caller
     (losses.sinkhorn) falls back to the XLA loop beyond that."""
+    eps0 = max(eps0, eps)  # q <= 1: anneal must not grow past the target
     b, n, _ = x.shape
     m = y.shape[1]
     xp = jnp.zeros((b, n, _COORD_PAD), jnp.float32).at[:, :, :3].set(

@@ -123,9 +123,13 @@ class ProcessShardDataset:
     Every process must run the *same number* of steps per epoch (each step is
     a cross-host collective), so shards are padded to equal length by
     wrapping around — at most one duplicate sample per process per epoch,
-    the standard distributed-sampler trade. (Metric counts downstream tally
-    evaluations performed, duplicates included.) A dataset smaller than the
-    process count degenerates to one wrapped sample per process.
+    the standard distributed-sampler trade. The duplicates sit at the END of
+    the shard and their count is exposed as ``wrap_duplicates`` so exact
+    consumers (``evaluate_dataset``, the golden recorder) can exclude them
+    from metric sums; training simply evaluates them (a sub-1/batch
+    duplication of shuffled data). A dataset smaller than the process count
+    degenerates to one wrapped sample per process, all marked duplicate on
+    the wrapping processes.
 
     Forwards the optional ``load_batch`` fast path (native C++ batch decode,
     fenet.data.shapenet) through the index mapping.
@@ -143,13 +147,17 @@ class ProcessShardDataset:
         if n == 0:
             raise ValueError(f"cannot shard an empty dataset over {pc}")
         idx = np.arange(pi, n, pc)
-        if len(idx) == 0:  # more processes than samples
-            idx = np.asarray([pi % n])
+        wrap = 0
+        if len(idx) == 0:  # more processes than samples: the whole shard
+            idx = np.asarray([pi % n])  # re-evaluates another process's
+            wrap = 1  # sample — every entry is a duplicate
         target = max(-(-n // pc), 1)  # ceil: longest shard's length
         if len(idx) < target:  # pad by wrapping within the shard
-            idx = np.concatenate([idx, idx[: target - len(idx)]])
+            wrap = target - len(idx)
+            idx = np.concatenate([idx, idx[:wrap]])
         self.dataset = dataset
         self._indices = idx
+        self.wrap_duplicates = wrap
 
     def __len__(self) -> int:
         return len(self._indices)

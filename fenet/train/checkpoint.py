@@ -34,7 +34,7 @@ def _flatten(tree: Mapping, prefix=()) -> Dict[tuple, np.ndarray]:
     return out
 
 
-def _fetch(leaf):
+def _fetch(leaf, to_host: bool = True):
     """Host copy of a leaf. Fully-replicated multi-process arrays (the dp
     state) read straight off the local replica; arrays actually SHARDED
     across other hosts (multi-host tensor parallelism) are re-assembled by
@@ -42,12 +42,19 @@ def _fetch(leaf):
     all-gather along the correct mesh axes (axis-aware, unlike a raw
     ``process_allgather`` which concatenates on axis 0). NB that gather is
     a COLLECTIVE: every process must reach it — the train driver calls
-    :func:`fetch_arrays` on all processes and only process 0 writes."""
+    :func:`fetch_arrays` on all processes and only process 0 writes.
+
+    ``to_host=False`` (non-primary processes) still executes the collective
+    gathers but skips every device->host copy: on a pure-dp mesh the state
+    is fully replicated and non-primary processes would otherwise pull the
+    whole params+moments tree (~GBs for A2) to host memory per checkpoint
+    just to discard it."""
     if getattr(leaf, "is_fully_addressable", True) or getattr(
         leaf, "is_fully_replicated", False
     ):
-        return jax.device_get(leaf)
-    return jax.device_get(_replicated_gather(leaf.sharding.mesh)(leaf))
+        return jax.device_get(leaf) if to_host else None
+    gathered = _replicated_gather(leaf.sharding.mesh)(leaf)
+    return jax.device_get(gathered) if to_host else None
 
 
 @functools.cache
@@ -63,12 +70,14 @@ def _replicated_gather(mesh):
     )
 
 
-def fetch_arrays(tree):
+def fetch_arrays(tree, to_host: bool = True):
     """Host numpy copies of every leaf of ``tree``. Under multi-host tensor
     parallelism this is a collective (see :func:`_fetch`) — the driver
-    invokes it from EVERY process at each checkpoint point, then only
-    process 0 passes the result to :func:`save_checkpoint`."""
-    return jax.tree_util.tree_map(_fetch, tree)
+    invokes it from EVERY process at each checkpoint point (non-primary
+    with ``to_host=False``: collectives run, copies skipped, leaves come
+    back None), then only process 0 passes the result to
+    :func:`save_checkpoint`."""
+    return jax.tree_util.tree_map(lambda x: _fetch(x, to_host), tree)
 
 
 def _split_state(state: Dict[str, Any]):

@@ -236,9 +236,15 @@ def train_net(
                 except Exception as e:
                     logger.error("resume: loading %s failed: %r", path, e)
                     blob, found = target, 0
+                def _f(key):  # missing/None best-loss -> NaN sentinel
+                    v = blob.get(key)
+                    return float(v) if v is not None else np.nan
+
                 meta = np.asarray(
                     [float(blob.get("epoch", 0)),
-                     float(blob.get("train_time", 0.0))], np.float32,
+                     float(blob.get("train_time", 0.0)),
+                     _f("best_chamfer_loss"), _f("best_emd_loss")],
+                    np.float32,
                 )
             else:
                 # Host-side zero placeholders: broadcast_one_to_all builds
@@ -248,7 +254,7 @@ def train_net(
                     lambda x: np.zeros(x.shape, x.dtype), target
                 )
                 found = 1  # overwritten by the broadcast below
-                meta = np.zeros(2, np.float32)
+                meta = np.zeros(4, np.float32)
             found = int(
                 multihost_utils.broadcast_one_to_all(
                     np.asarray(found, np.int32)
@@ -264,7 +270,9 @@ def train_net(
             )
             meta = multihost_utils.broadcast_one_to_all(meta)
             blob = {**arrays, "epoch": int(meta[0]),
-                    "train_time": float(meta[1])}
+                    "train_time": float(meta[1]),
+                    "best_chamfer_loss": float(meta[2]),
+                    "best_emd_loss": float(meta[3])}
         else:
             blob = load_checkpoint(path, target=target)
         state = state.replace(
@@ -280,6 +288,36 @@ def train_net(
             state = shard_tree(state, trainer.mesh)
         start_epoch = int(blob.get("epoch", 0))
         all_epoch_time = float(blob.get("train_time", 0.0))
+        # Restore the running best (train.py:126-127): without this the
+        # first post-resume validation always wins better_than(None) and
+        # can overwrite model_best with strictly worse weights. Missing
+        # keys (old periodic checkpoints) / NaN sentinels leave None.
+        def _restore_best(key, name):
+            v = blob.get(key)
+            if v is None or not np.isfinite(float(v)):
+                return None
+            return Metrics(name, {name: float(v)})
+
+        best_chamfer = _restore_best("best_chamfer_loss", "ChamferDistance")
+        best_emd = _restore_best("best_emd_loss", "EMD_distance")
+
+    def _best_vals():
+        """Running-best scalars for checkpoint blobs (NaN = no validation
+        yet). The reference stores the CURRENT validation under these keys
+        (train.py:224-225) — harmless there because resume only ever reads
+        model_best, which is by construction a best-epoch copy; here resume
+        may fall back to periodic/non-best checkpoints, so the true running
+        best is stored instead."""
+        return {
+            "best_chamfer_loss": (
+                float(best_chamfer.state_dict()["ChamferDistance"])
+                if best_chamfer is not None else float("nan")
+            ),
+            "best_emd_loss": (
+                float(best_emd.state_dict()["EMD_distance"])
+                if best_emd is not None else float("nan")
+            ),
+        }
 
     history = []
     for epoch in range(start_epoch + 1, cfg.nepoch + 1):
@@ -319,12 +357,13 @@ def train_net(
             and not (epoch in tuple(cfg.validate_epochs) and len(val_ds))
         ):
             # fetch_arrays is a collective under multi-host TP: EVERY
-            # process participates in the gather; only process 0 writes.
+            # process participates in the gather; only process 0 writes
+            # (non-primary skips the device->host copies entirely).
             arrays = fetch_arrays({
                 "params": state.params,
                 "batch_stats": state.batch_stats,
                 "opt_state": state.opt_state,
-            })
+            }, to_host=primary)
             if primary:
                 save_checkpoint(
                     {
@@ -332,6 +371,7 @@ def train_net(
                         "epoch": epoch,
                         "model_name": ckpt_dir,
                         "train_time": all_epoch_time,
+                        **_best_vals(),
                     },
                     False, cat, ckpt_dir, epoch, fmt=cfg.ckpt_format,
                 )
@@ -353,25 +393,21 @@ def train_net(
             if is_best:
                 best_chamfer, best_emd = cd_m, emd_m
             # Collective gather of host-sharded leaves (multi-host TP);
-            # a pure-dp state reads straight off the local replica.
+            # a pure-dp state reads straight off the local replica, and
+            # non-primary processes skip the host copy altogether.
             ckpt_arrays = fetch_arrays({
                 "params": state.params,
                 "batch_stats": state.batch_stats,
                 "opt_state": state.opt_state,
-            })
+            }, to_host=primary)
             if primary:  # replicas hold identical state; one copy suffices
                 save_checkpoint(
                     {
                         **ckpt_arrays,
                         "epoch": epoch,
                         "model_name": ckpt_dir,
-                        "best_chamfer_loss": float(
-                            cd_m.state_dict()["ChamferDistance"]
-                        ),
-                        "best_emd_loss": float(
-                            emd_m.state_dict()["EMD_distance"]
-                        ),
                         "train_time": all_epoch_time,
+                        **_best_vals(),
                     },
                     is_best, cat, ckpt_dir, epoch, fmt=cfg.ckpt_format,
                 )
