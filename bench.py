@@ -281,21 +281,25 @@ def run_train_bench(mesh, batch=128, warmup=2, steps=3):
 
 
 def run_inference_bench(model, variables, mesh, batch=256, reps=20,
-                        deployed=None):
+                        deployed=None, dtype=None):
     """Serving throughput: deploy-folded forward only (image -> 1024-pt
     cloud), inputs staged in HBM — the --deploy CLI path's compute rate.
     Pass ``deployed=(dep_model, dep_vars)`` to reuse one fold across a
-    batch-size sweep."""
+    batch-size sweep; ``dtype=jnp.bfloat16`` measures the bf16 serving
+    export (export_deploy --dtype bfloat16: params cast at fold time,
+    images upcast on device to the same dtype, MXU native rate)."""
     import jax
     import jax.numpy as jnp
 
     from fenet.models.generator import to_deploy
 
-    dep_model, dep_vars = deployed or to_deploy(model, variables)
+    dep_model, dep_vars = deployed or to_deploy(model, variables,
+                                                dtype=dtype)
+    compute_dtype = dtype or jnp.float32
 
     @jax.jit
     def fwd(v, images):
-        _, _, pc3 = dep_model.apply(v, images.astype(jnp.float32),
+        _, _, pc3 = dep_model.apply(v, images.astype(compute_dtype),
                                     train=False)
         return pc3
 
@@ -589,6 +593,8 @@ def _run(opt):
     train_ips, train_sps, train_base_ips, train_sk_ips = run_train_bench(
         mesh
     )
+    import jax.numpy as jnp
+
     from fenet.models.generator import to_deploy
 
     deployed = to_deploy(model, variables)  # fold once for the whole sweep
@@ -599,6 +605,10 @@ def _run(opt):
     }
     serving_batch = max(serving_sweep, key=serving_sweep.get)
     serving_ips = serving_sweep[serving_batch]
+    # bf16 serving export at the fp32-best batch (one extra fold+compile).
+    serving_bf16_ips = run_inference_bench(
+        model, variables, mesh, batch=serving_batch, dtype=jnp.bfloat16
+    )
     result = {
         "metric": "shapenet_13cat_eval_throughput",
         "value": round(throughput, 3),
@@ -629,6 +639,13 @@ def _run(opt):
                 "sweep": {
                     str(b): round(v, 3) for b, v in serving_sweep.items()
                 },
+                "bf16_images_per_sec_chip": round(serving_bf16_ips, 3),
+                "bf16_note": (
+                    "export_deploy --dtype bfloat16 path at the same "
+                    "batch: folded params cast to bf16, forward at the "
+                    "MXU native rate (~1e-2 relative coordinate error, "
+                    "tests/test_extras.py)"
+                ),
                 "note": (
                     "deploy-folded forward only (image -> 1024-pt cloud), "
                     "inputs staged in HBM; the --deploy CLI path; "

@@ -44,6 +44,13 @@ def main(argv=None):
     parser.add_argument("--backbone", type=str, default="RepVGG-A2")
     parser.add_argument("--fine_width", type=int, default=512)
     parser.add_argument("--mid_width", type=int, default=128)
+    parser.add_argument("--dtype", type=str, default="float32",
+                        choices=("float32", "bfloat16"),
+                        help="serving precision of the folded weights; "
+                             "bfloat16 runs the forward at the MXU's "
+                             "native bf16 rate (2x fp32) at ~1e-2 relative "
+                             "coordinate error — see models.generator."
+                             "to_deploy")
     opt = parser.parse_args(argv)
 
     path = opt.model % opt.category if "%s" in opt.model else opt.model
@@ -59,8 +66,11 @@ def main(argv=None):
         target={"params": variables["params"],
                 "batch_stats": variables["batch_stats"]},
     )
+    import jax.numpy as jnp
+
     _, deploy_vars = to_deploy(
-        gen, {"params": blob["params"], "batch_stats": blob["batch_stats"]}
+        gen, {"params": blob["params"], "batch_stats": blob["batch_stats"]},
+        dtype=jnp.dtype(opt.dtype) if opt.dtype != "float32" else None,
     )
 
     out = opt.out or os.path.join(os.path.dirname(path), "model_deploy.ckpt")
@@ -74,6 +84,7 @@ def main(argv=None):
         "backbone": opt.backbone,
         "fine_width": opt.fine_width,
         "mid_width": opt.mid_width,
+        "dtype": opt.dtype,
         "source": path,
     }
     with open(out + ".json", "w") as f:
@@ -83,13 +94,17 @@ def main(argv=None):
 
 
 def load_deploy_checkpoint(path: str):
-    """(deploy_model, variables) from an exported deploy checkpoint — the
-    serving-side loader: rebuilds the Generator from the JSON sidecar and
-    restores the folded params with no fold at startup."""
+    """(deploy_model, variables, dtype) from an exported deploy checkpoint —
+    the serving-side loader: rebuilds the Generator from the JSON sidecar
+    and restores the folded params with no fold at startup. ``dtype`` is
+    the serving precision the weights were exported at (numpy dtype);
+    feed inputs cast to it (see models.generator.to_deploy)."""
     import flax.serialization
+    import jax.numpy as jnp
 
     with open(path + ".json") as f:
         meta = json.load(f)
+    dtype = jnp.dtype(meta.get("dtype", "float32"))
     gen = Generator(
         num_points=meta["num_points"], backbone=meta["backbone"],
         fine_width=meta["fine_width"], mid_width=meta["mid_width"],
@@ -97,11 +112,14 @@ def load_deploy_checkpoint(path: str):
     )
     template = gen.init(jax.random.PRNGKey(0),
                         np.zeros((1, 128, 128, 3), np.float32), train=False)
+    template = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x, dtype), template
+    )
     with open(path, "rb") as f:
         variables = flax.serialization.from_bytes(
             {"params": template["params"]}, f.read()
         )
-    return gen, variables
+    return gen, variables, dtype
 
 
 if __name__ == "__main__":

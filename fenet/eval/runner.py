@@ -147,19 +147,18 @@ def evaluate_dataset(
     emd_sum = cd_sum = 0.0
     n_samples = seen = 0
     t0 = time.time()
-    for i, batch in enumerate(dataloader, start=1):
-        images, points = batch["image"], batch["points"]
-        valid = images.shape[0]
-        pad = (-valid) % local_dev  # shard_map needs divisible batches
-        if pad:
-            images = np.concatenate([images, images[-1:].repeat(pad, 0)])
-            points = np.concatenate([points, points[-1:].repeat(pad, 0)])
-        sharded = shard_batch({"image": images, "points": points}, mesh)
-        out = step(variables, sharded["image"], sharded["points"])
-        take = valid
-        if tally_limit is not None:
-            take = min(valid, max(tally_limit - seen, 0))
-        seen += valid
+    # One-deep software pipeline: reading a batch's metrics back
+    # (``_local_values`` -> np.asarray) blocks the host until the step
+    # drains, so tallying batch i only AFTER batch i+1 is dispatched lets
+    # XLA overlap i+1's host->device transfer with i's compute — on this
+    # platform the end-to-end eval is transfer-bound (~23 MB/s tunnel) and
+    # the un-pipelined loop serialized the two. Depth 1 holds at most two
+    # batches of outputs on device (metrics + (B,N,3) aligned preds).
+    pending = None  # (out, valid, take, batch_index) awaiting readback
+
+    def _tally(entry):
+        nonlocal emd_sum, cd_sum, n_samples
+        out, valid, take, i = entry
         emd = _local_values(out["emd"])[:valid]
         cd = _local_values(out["cd"])[:valid]
         emd_sum += float(emd[:take].sum())
@@ -171,6 +170,25 @@ def evaluate_dataset(
                 i, len(dataloader), category,
                 ["%.4f" % m for m in (emd.mean(), cd.mean())],
             )
+
+    for i, batch in enumerate(dataloader, start=1):
+        images, points = batch["image"], batch["points"]
+        valid = images.shape[0]
+        pad = (-valid) % local_dev  # shard_map needs divisible batches
+        if pad:
+            images = np.concatenate([images, images[-1:].repeat(pad, 0)])
+            points = np.concatenate([points, points[-1:].repeat(pad, 0)])
+        sharded = shard_batch({"image": images, "points": points}, mesh)
+        out = step(variables, sharded["image"], sharded["points"])
+        take = valid  # duplicate-exclusion accounting at SUBMISSION order
+        if tally_limit is not None:
+            take = min(valid, max(tally_limit - seen, 0))
+        seen += valid
+        if pending is not None:
+            _tally(pending)
+        pending = (out, valid, take, i)
+    if pending is not None:
+        _tally(pending)
     wall = time.time() - t0
     if mesh_procs > 1:  # combine the per-process partial sums
         from jax.experimental import multihost_utils

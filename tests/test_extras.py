@@ -117,12 +117,131 @@ def test_export_deploy_cli_roundtrip(tmp_path):
         "--num_points", "256", "--fine_width", "32", "--mid_width", "16",
     ])
     assert os.path.exists(out) and os.path.exists(out + ".json")
-    dep_gen, dep_vars = load_deploy_checkpoint(out)
+    dep_gen, dep_vars, dtype = load_deploy_checkpoint(out)
+    assert dtype == np.float32
     ref = gen.apply(variables, img, train=False)
     got = dep_gen.apply(dep_vars, img, train=False)
     for r, g in zip(ref, got):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r),
                                    rtol=1e-3, atol=1e-3)
+
+
+def test_export_deploy_cli_bf16(tmp_path):
+    """--dtype bfloat16 export: sidecar records the dtype, the loader
+    restores bf16 leaves, and the bf16 forward tracks the fp32 fold within
+    bf16 rounding (the to_deploy docstring's ~1e-2 relative claim)."""
+    import os
+
+    import jax.numpy as jnp
+
+    from fenet.cli.export_deploy import load_deploy_checkpoint, main
+    from fenet.models.generator import Generator, to_deploy
+    from fenet.train.checkpoint import save_checkpoint
+
+    gen = Generator(num_points=256, backbone="RepVGG-TEST",
+                    fine_width=32, mid_width=16)
+    rng = np.random.RandomState(3)
+    img = rng.rand(2, 128, 128, 3).astype(np.float32) * 255
+    variables = gen.init(jax.random.PRNGKey(1), img[:1], train=False)
+    ckpt_dir = str(tmp_path)
+    save_checkpoint(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"], "epoch": 1},
+        True, "t", ckpt_dir, 1,
+    )
+    out = main([
+        "--model", ckpt_dir, "--backbone", "RepVGG-TEST",
+        "--num_points", "256", "--fine_width", "32", "--mid_width", "16",
+        "--dtype", "bfloat16",
+    ])
+    assert os.path.exists(out + ".json")
+    dep_gen, dep_vars, dtype = load_deploy_checkpoint(out)
+    assert dtype == jnp.bfloat16
+    leaves = jax.tree_util.tree_leaves(dep_vars)
+    assert all(leaf.dtype == jnp.bfloat16 for leaf in leaves)
+    # fp32 fold as the oracle; inputs must be cast to the serving dtype.
+    _, fp32_vars = to_deploy(gen, variables)
+    ref = np.asarray(dep_gen.apply(fp32_vars, img, train=False)[2])
+    got16 = dep_gen.apply(dep_vars, img.astype(jnp.bfloat16), train=False)[2]
+    assert got16.dtype == jnp.bfloat16
+    got = np.asarray(got16.astype(jnp.float32))
+    assert np.all(np.isfinite(got))
+    # Coordinates live in a data-dependent range; compare against the
+    # cloud's scale, not elementwise (bf16 ~8-bit mantissa through ~20
+    # layers accumulates to the 1e-2 relative level).
+    scale = max(np.abs(ref).max(), 1e-3)
+    assert np.abs(got - ref).max() / scale < 0.05
+
+
+def test_predict_cli_serves_deploy_artifact(tmp_path):
+    """fenet.cli.predict closes the export->serve loop: it consumes the
+    exported artifact (bf16 here — the sidecar's dtype drives the forward),
+    batches arbitrary-size images with last-batch padding under ONE
+    compiled program, and writes one finite PLY cloud per input."""
+    import os
+
+    import cv2
+    import jax.numpy as jnp
+
+    from fenet.cli.export_deploy import main as export_main
+    from fenet.cli.predict import main as predict_main
+    from fenet.models.generator import Generator
+    from fenet.train.checkpoint import save_checkpoint
+    from fenet.utils.ply import load_pointcloud
+
+    gen = Generator(num_points=256, backbone="RepVGG-TEST",
+                    fine_width=32, mid_width=16)
+    rng = np.random.RandomState(7)
+    variables = gen.init(
+        jax.random.PRNGKey(1),
+        rng.rand(1, 128, 128, 3).astype(np.float32), train=False,
+    )
+    ckpt_dir = str(tmp_path / "ckpt")
+    os.makedirs(ckpt_dir)
+    save_checkpoint(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"], "epoch": 1},
+        True, "t", ckpt_dir, 1,
+    )
+    artifact = export_main([
+        "--model", ckpt_dir, "--backbone", "RepVGG-TEST",
+        "--num_points", "256", "--fine_width", "32", "--mid_width", "16",
+        "--dtype", "bfloat16",
+        "--out", str(tmp_path / "deploy.ckpt"),
+    ])
+    img_dir = tmp_path / "imgs"
+    os.makedirs(img_dir)
+    # 3 images, 2 sizes: a 137x137 "ShapeNet render" (gets the reference
+    # crop) and off-size inputs (get resized) — batchSize 2 forces a
+    # padded final batch.
+    for i, side in enumerate((137, 64, 200)):
+        cv2.imwrite(str(img_dir / f"im{i}.png"),
+                    rng.randint(0, 256, (side, side, 3), np.uint8))
+    written = predict_main([
+        "--deploy_ckpt", artifact, "--images", str(img_dir),
+        "--out_dir", str(tmp_path / "out"), "--batchSize", "2",
+    ])
+    assert len(written) == 3
+    for ply in written:
+        cloud = load_pointcloud(ply)
+        assert cloud.shape == (256, 3)
+        assert np.all(np.isfinite(cloud))
+    # The written cloud matches a direct forward at the artifact dtype.
+    img = cv2.cvtColor(cv2.imread(str(img_dir / "im0.png")),
+                       cv2.COLOR_BGR2RGB)[4:-5, 4:-5].astype(np.float32)
+    from fenet.cli.export_deploy import load_deploy_checkpoint
+
+    dep_gen, dep_vars, dtype = load_deploy_checkpoint(artifact)
+    assert dtype == jnp.bfloat16
+    ref = np.asarray(
+        dep_gen.apply(dep_vars, img[None].astype(dtype), train=False)[2][0],
+        np.float32,
+    )
+    got = load_pointcloud(written[0])
+    # Batched (padded) vs single-image forward fuses differently ->
+    # one-ulp bf16 deltas on O(100) coordinates; compare to cloud scale.
+    scale = max(np.abs(ref).max(), 1e-3)
+    assert np.abs(got - ref).max() / scale < 3e-3
 
 
 def test_sinkhorn_emd_loss_reaches_lap_optimum():
