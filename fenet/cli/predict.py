@@ -79,6 +79,15 @@ def main(argv=None):
 
     gen, variables, dtype = load_deploy_checkpoint(opt.deploy_ckpt)
 
+    # Serving is data-parallel over every local device: params replicated,
+    # image batches sharded on the batch axis — GSPMD propagates the
+    # sharding through the forward, so one jitted program serves 1 or N
+    # chips identically (the same layer eval uses, fenet/parallel/mesh.py).
+    from fenet.parallel.mesh import make_mesh, replicate, shard_batch
+
+    mesh = make_mesh()
+    variables = jax.device_put(variables, replicate(mesh))
+
     @jax.jit
     def forward(variables, images):
         # Upcast on device (uint8 wire format, 4x less transfer) to the
@@ -88,7 +97,9 @@ def main(argv=None):
         return pc
 
     os.makedirs(opt.out_dir, exist_ok=True)
-    bs = opt.batchSize
+    n_dev = mesh.devices.size
+    # Static shapes + even shards: round the batch up to the device count.
+    bs = -(-opt.batchSize // n_dev) * n_dev
     written = []
     for start in range(0, len(paths), bs):
         chunk = paths[start:start + bs]
@@ -96,9 +107,8 @@ def main(argv=None):
         if len(chunk) < bs:  # static shapes: one compiled program total
             pad = bs - len(chunk)
             images = np.concatenate([images, images[-1:].repeat(pad, 0)])
-        clouds = np.asarray(
-            forward(variables, images.astype(np.uint8)), np.float32
-        )
+        sharded = shard_batch({"image": images.astype(np.uint8)}, mesh)
+        clouds = np.asarray(forward(variables, sharded["image"]), np.float32)
         for path, cloud in zip(chunk, clouds):
             name = os.path.splitext(os.path.basename(path))[0] + ".ply"
             out = os.path.join(opt.out_dir, name)
