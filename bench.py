@@ -274,10 +274,15 @@ def run_train_bench(mesh, batch=128, warmup=2, steps=3):
     base_steps_per_sec = timed_steps(False, 1, warmup)
     # The opt-in annealed-Sinkhorn EMD (--emd_impl sinkhorn, VMEM-resident
     # Pallas potentials loop): fixed cost regardless of training state.
-    sinkhorn_steps_per_sec = timed_steps(True, steps, warmup,
-                                         emd_impl="sinkhorn")
+    # Fault-isolated: an optional-section failure (e.g. a Mosaic lowering
+    # this kernel has not met yet) must not cost the headline capture.
+    try:
+        sinkhorn_ips = batch * timed_steps(True, steps, warmup,
+                                           emd_impl="sinkhorn")
+    except Exception as e:  # pragma: no cover - depends on backend
+        sinkhorn_ips = f"error: {str(e)[-200:]}"
     return (batch * steps_per_sec, steps_per_sec,
-            batch * base_steps_per_sec, batch * sinkhorn_steps_per_sec)
+            batch * base_steps_per_sec, sinkhorn_ips)
 
 
 def run_inference_bench(model, variables, mesh, batch=256, reps=20,
@@ -311,6 +316,38 @@ def run_inference_bench(model, variables, mesh, batch=256, reps=20,
         out = fwd(dep_vars, img)
     np.asarray(out)  # forces full drain
     return batch * reps / (time.time() - t0)
+
+
+def run_serving_latency(model, variables, deployed=None, reps=30):
+    """Single-request serving latency: p50/p99 ms for one image -> one
+    1024-pt cloud through the deploy-folded forward, input staged in HBM
+    (isolates chip latency from this host's tunneled link). Per-call drain:
+    each request's result is fetched before the next is issued — the
+    latency-floor counterpart of run_inference_bench's throughput."""
+    import jax
+    import jax.numpy as jnp
+
+    from fenet.models.generator import to_deploy
+
+    dep_model, dep_vars = deployed or to_deploy(model, variables)
+
+    @jax.jit
+    def fwd(v, images):
+        _, _, pc3 = dep_model.apply(v, images.astype(jnp.float32),
+                                    train=False)
+        return pc3
+
+    rng = np.random.RandomState(0)
+    img = jnp.asarray((rng.rand(1, 128, 128, 3) * 255).astype(np.uint8))
+    _retry(lambda: np.asarray(fwd(dep_vars, img)))  # compile + drain
+    lat = []
+    for _ in range(reps):
+        t0 = time.time()
+        np.asarray(fwd(dep_vars, img))
+        lat.append((time.time() - t0) * 1e3)
+    lat.sort()
+    return {"p50_ms": round(lat[len(lat) // 2], 3),
+            "p99_ms": round(lat[min(len(lat) - 1, int(len(lat) * 0.99))], 3)}
 
 
 def run_reference_structured(model, variables, batches, n_samples=48):
@@ -606,9 +643,19 @@ def _run(opt):
     serving_batch = max(serving_sweep, key=serving_sweep.get)
     serving_ips = serving_sweep[serving_batch]
     # bf16 serving export at the fp32-best batch (one extra fold+compile).
-    serving_bf16_ips = run_inference_bench(
-        model, variables, mesh, batch=serving_batch, dtype=jnp.bfloat16
-    )
+    # Fault-isolated like the sinkhorn section: optional measurements must
+    # not cost the headline capture on an unexpected backend failure.
+    try:
+        serving_bf16_ips = run_inference_bench(
+            model, variables, mesh, batch=serving_batch, dtype=jnp.bfloat16
+        )
+    except Exception as e:  # pragma: no cover - depends on backend
+        serving_bf16_ips = f"error: {str(e)[-200:]}"
+    try:
+        serving_latency = run_serving_latency(model, variables,
+                                              deployed=deployed)
+    except Exception as e:  # pragma: no cover - depends on backend
+        serving_latency = {"error": str(e)[-200:]}
     result = {
         "metric": "shapenet_13cat_eval_throughput",
         "value": round(throughput, 3),
@@ -639,12 +686,21 @@ def _run(opt):
                 "sweep": {
                     str(b): round(v, 3) for b, v in serving_sweep.items()
                 },
-                "bf16_images_per_sec_chip": round(serving_bf16_ips, 3),
+                "bf16_images_per_sec_chip": (
+                    round(serving_bf16_ips, 3)
+                    if isinstance(serving_bf16_ips, float)
+                    else serving_bf16_ips
+                ),
                 "bf16_note": (
                     "export_deploy --dtype bfloat16 path at the same "
                     "batch: folded params cast to bf16, forward at the "
                     "MXU native rate (~1e-2 relative coordinate error, "
                     "tests/test_extras.py)"
+                ),
+                "latency": serving_latency,
+                "latency_note": (
+                    "single request (batch=1), per-call drain; the "
+                    "latency-floor counterpart of the throughput numbers"
                 ),
                 "note": (
                     "deploy-folded forward only (image -> 1024-pt cloud), "
@@ -664,7 +720,11 @@ def _run(opt):
                     "(reference always runs all 3000 iterations, "
                     "emd_cuda.cu:256); same-chip proxy"
                 ),
-                "sinkhorn_images_per_sec": round(train_sk_ips, 3),
+                "sinkhorn_images_per_sec": (
+                    round(train_sk_ips, 3)
+                    if isinstance(train_sk_ips, float)
+                    else train_sk_ips
+                ),
                 "sinkhorn_note": (
                     "opt-in --emd_impl sinkhorn (annealed entropic OT, "
                     "VMEM-resident Pallas potentials loop, blur=0.01 x "
