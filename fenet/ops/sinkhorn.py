@@ -43,7 +43,10 @@ _NEG = -1e30  # streaming-LSE "minus infinity" (finite, fp32-safe)
 def _sinkhorn_kernel(
     x_ref,  # (1, N, CPAD) in VMEM
     y_ref,  # (1, M, CPAD)
-    f_ref,  # (1, N) out f32
+    f_ref,  # (1, N, 1) out f32 (column layout: f is produced by lane-dim
+    #         reductions as an (N, 1) column; a (1, N) row output would
+    #         need an in-kernel sublane<->lane transpose, which Mosaic
+    #         relayout rejects — same layout choice as ops/emd.py's dist)
     g_ref,  # (1, M) out f32
     c_ref,  # (N, M) scratch f32
     fcol_ref,  # (N, 1) scratch f32
@@ -99,13 +102,13 @@ def _sinkhorn_kernel(
         return 0
 
     jax.lax.fori_loop(0, iters, body, 0)
-    f_ref[:, :] = fcol_ref[:, :].reshape(1, n)
+    f_ref[0, :, :] = fcol_ref[:, :]
 
 
 def _sinkhorn_stream_kernel(
     x_ref,  # (1, N, CPAD) in VMEM
     y_ref,  # (1, M, CPAD)
-    f_ref,  # (1, N) out f32
+    f_ref,  # (1, N, 1) out f32 (column layout — see _sinkhorn_kernel)
     g_out_ref,  # (1, M) out f32
     fcol_ref,  # (N, 1) scratch f32
     g_ref,  # (1, M) scratch f32
@@ -187,7 +190,7 @@ def _sinkhorn_stream_kernel(
         return 0
 
     jax.lax.fori_loop(0, iters, body, 0)
-    f_ref[:, :] = fcol_ref[:, :].reshape(1, n)
+    f_ref[0, :, :] = fcol_ref[:, :]
     g_out_ref[:, :] = g_ref[:, :]
 
 
@@ -225,11 +228,11 @@ def sinkhorn_potentials_stream(
             pl.BlockSpec((1, m, _COORD_PAD), lambda i: (i, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, n), lambda i: (i, 0)),
+            pl.BlockSpec((1, n, 1), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, m), lambda i: (i, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, 1), jnp.float32),
             jax.ShapeDtypeStruct((b, m), jnp.float32),
         ],
         scratch_shapes=[
@@ -240,7 +243,7 @@ def sinkhorn_potentials_stream(
         ],
         interpret=interpret,
     )(xp, yp)
-    return f, g
+    return f[:, :, 0], g
 
 
 @functools.partial(
@@ -278,11 +281,11 @@ def sinkhorn_potentials(
             pl.BlockSpec((1, m, _COORD_PAD), lambda i: (i, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, n), lambda i: (i, 0)),
+            pl.BlockSpec((1, n, 1), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, m), lambda i: (i, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, 1), jnp.float32),
             jax.ShapeDtypeStruct((b, m), jnp.float32),
         ],
         scratch_shapes=[
@@ -291,4 +294,4 @@ def sinkhorn_potentials(
         ],
         interpret=interpret,
     )(xp, yp)
-    return f, g
+    return f[:, :, 0], g
