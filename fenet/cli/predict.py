@@ -24,25 +24,30 @@ import os
 import numpy as np
 
 
-def _load_image(path: str) -> np.ndarray:
-    """RGB float32 HWC at 128x128 — the network's input contract.
+def normalize_rgb(img: np.ndarray) -> np.ndarray:
+    """RGB HWC -> float32 128x128x3 — the network's input contract.
 
     ShapeNet renders are 137x137 and the datasets crop [4:-5, 4:-5]
     (data/shapenet.py:118); arbitrary serving inputs get the same crop
     when they arrive at 137x137, a plain resize otherwise. Raw 0..255
-    pixels, no normalization — matching training exactly.
-    """
+    pixels, no normalization — matching training exactly. Shared by this
+    CLI and the HTTP server (fenet.serve)."""
     import cv2
 
-    img = cv2.imread(path)
-    if img is None:
-        raise FileNotFoundError(path)
-    img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
     if img.shape[:2] == (137, 137):
         img = img[4:-5, 4:-5]
     elif img.shape[:2] != (128, 128):
         img = cv2.resize(img, (128, 128), interpolation=cv2.INTER_AREA)
     return img[:, :, :3].astype(np.float32)
+
+
+def _load_image(path: str) -> np.ndarray:
+    import cv2
+
+    img = cv2.imread(path)
+    if img is None:
+        raise FileNotFoundError(path)
+    return normalize_rgb(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
 
 
 def main(argv=None):

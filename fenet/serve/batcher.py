@@ -1,0 +1,111 @@
+"""Micro-batching scheduler: many concurrent requests -> one padded batch.
+
+The TPU's serving sweet spot is large statically-shaped batches (the MXU
+is a 128x128 systolic array; at batch 1 the deploy forward is
+launch/latency-bound). The scheduler amortizes that: requests enqueue a
+(image, Future) pair, a single dispatcher thread drains up to
+``max_batch`` of them every ``window_ms`` (sooner when a full batch is
+already waiting), pads to the fixed batch size, runs ONE jitted forward,
+and distributes the rows back through the futures.
+
+A single dispatcher thread is deliberate: one in-flight program per
+device keeps execution in submission order with no cross-request
+interference, and the hand-off queue is the only lock. The forward
+itself is whatever callable the caller provides (the HTTP server passes
+the dp-sharded deploy forward), so the scheduler is model- and
+backend-agnostic and unit-testable without a TPU.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import Future
+from typing import Callable, Sequence
+
+import numpy as np
+
+
+class MicroBatcher:
+    """Batch single-image requests into fixed-size forward calls.
+
+    ``forward``: callable taking a (max_batch, H, W, C) uint8 array and
+    returning (max_batch, num_points, 3) float32 (row i of the output
+    must correspond to row i of the input).
+    """
+
+    def __init__(self, forward: Callable[[np.ndarray], np.ndarray],
+                 max_batch: int = 32, window_ms: float = 5.0):
+        if max_batch < 1:
+            raise ValueError("max_batch must be >= 1")
+        self._forward = forward
+        self._max_batch = max_batch
+        self._window_s = window_ms / 1e3
+        self._queue: "queue.Queue" = queue.Queue()
+        self._closed = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    # -- client side ------------------------------------------------------
+    def submit(self, image: np.ndarray) -> Future:
+        """Enqueue one (H, W, C) uint8 image; resolves to (num_points, 3)
+        float32. Raises after close()."""
+        if self._closed.is_set():
+            raise RuntimeError("MicroBatcher is closed")
+        fut: Future = Future()
+        self._queue.put((np.asarray(image), fut))
+        return fut
+
+    def predict(self, image: np.ndarray) -> np.ndarray:
+        return self.submit(image).result()
+
+    def close(self, timeout: float = 10.0):
+        """Stop the dispatcher; queued requests still drain first."""
+        self._closed.set()
+        self._queue.put(None)  # wake the blocking get
+        self._thread.join(timeout)
+
+    # -- dispatcher -------------------------------------------------------
+    def _collect(self) -> Sequence:
+        """Block for the first request, then gather up to max_batch within
+        the window (returning early when the batch fills)."""
+        import time
+
+        first = self._queue.get()
+        if first is None:
+            return []
+        batch = [first]
+        deadline = time.time() + self._window_s
+        while len(batch) < self._max_batch:
+            remaining = deadline - time.time()
+            if remaining <= 0:
+                break
+            try:
+                item = self._queue.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if item is None:
+                break
+            batch.append(item)
+        return batch
+
+    def _loop(self):
+        while True:
+            batch = self._collect()
+            if not batch:
+                if self._closed.is_set() and self._queue.empty():
+                    return
+                continue
+            images = np.stack([img for img, _ in batch])
+            n = images.shape[0]
+            if n < self._max_batch:  # static shapes: pad to the one program
+                pad = self._max_batch - n
+                images = np.concatenate([images, images[-1:].repeat(pad, 0)])
+            try:
+                clouds = np.asarray(self._forward(images), np.float32)
+            except Exception as e:  # propagate to every waiter, keep serving
+                for _, fut in batch:
+                    fut.set_exception(e)
+                continue
+            for row, (_, fut) in enumerate(batch):
+                fut.set_result(clouds[row])

@@ -1,0 +1,163 @@
+"""Dependency-free HTTP serving front end for a deploy artifact.
+
+``python -m fenet.cli.serve --deploy_ckpt .../model_deploy.ckpt`` brings
+up a threaded stdlib HTTP server whose handlers enqueue into one
+:class:`fenet.serve.batcher.MicroBatcher` — concurrent requests are
+fused into padded fixed-size device batches (the TPU's throughput
+regime) while the wire protocol stays single-image.
+
+Endpoints:
+
+- ``GET /healthz``  -> ``{"status": "ok", ...model metadata}``
+- ``GET /stats``    -> served/error counters
+- ``POST /predict`` -> body: PNG/JPG bytes; response: ``{"points":
+  [[x, y, z], ...]}`` (or binary PLY with ``?format=ply``)
+
+The reference repository has no serving entry point of any kind (its
+only inference surface is the dataset-bound eval scripts,
+testnet.py:28-79).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+
+def build_forward(deploy_ckpt: str, max_batch: int):
+    """(forward, meta): the dp-sharded jitted deploy forward at the fixed
+    serving batch, plus the artifact metadata. Mirrors fenet.cli.predict:
+    params replicated, batch axis sharded, inputs upcast on device to the
+    artifact's dtype."""
+    import jax
+
+    from fenet.cli.export_deploy import load_deploy_checkpoint
+    from fenet.parallel.mesh import make_mesh, replicate, shard_batch
+
+    gen, variables, dtype = load_deploy_checkpoint(deploy_ckpt)
+    mesh = make_mesh()
+    variables = jax.device_put(variables, replicate(mesh))
+
+    @jax.jit
+    def fwd(v, images):
+        _, _, pc = gen.apply(v, images.astype(dtype), train=False)
+        return pc
+
+    def forward(images: np.ndarray) -> np.ndarray:
+        sharded = shard_batch({"image": images.astype(np.uint8)}, mesh)
+        return np.asarray(fwd(variables, sharded["image"]), np.float32)
+
+    meta = {"num_points": gen.num_points, "backbone": gen.backbone,
+            "dtype": np.dtype(dtype).name, "max_batch": max_batch,
+            "devices": int(mesh.devices.size)}
+    return forward, meta
+
+
+class _Stats:
+    def __init__(self):
+        self.lock = threading.Lock()
+        self.served = 0
+        self.errors = 0
+
+    def bump(self, ok: bool):
+        with self.lock:
+            if ok:
+                self.served += 1
+            else:
+                self.errors += 1
+
+    def snapshot(self):
+        with self.lock:
+            return {"served": self.served, "errors": self.errors}
+
+
+def make_server(deploy_ckpt: str, host: str = "127.0.0.1", port: int = 8471,
+                max_batch: int = 32, window_ms: float = 5.0,
+                forward=None, meta: Optional[dict] = None):
+    """A ready-to-serve ThreadingHTTPServer (caller runs serve_forever()).
+
+    ``forward``/``meta`` may be injected for tests; by default they come
+    from :func:`build_forward`. The server owns a MicroBatcher; shut down
+    with ``server.shutdown()`` + ``server.batcher.close()``."""
+    from fenet.serve.batcher import MicroBatcher
+
+    if forward is None:
+        forward, meta = build_forward(deploy_ckpt, max_batch)
+    batcher = MicroBatcher(forward, max_batch=max_batch,
+                           window_ms=window_ms)
+    stats = _Stats()
+    srv_meta = dict(meta or {})
+
+    class Handler(BaseHTTPRequestHandler):
+        # Quiet by default: the access log goes through the fenet logger
+        # owner (the CLI), not stderr-per-request.
+        def log_message(self, fmt, *args):  # noqa: D102
+            pass
+
+        def _reply(self, code: int, body: bytes, ctype: str):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _reply_json(self, code: int, obj):
+            self._reply(code, json.dumps(obj).encode(), "application/json")
+
+        def do_GET(self):  # noqa: N802 (stdlib API)
+            if self.path == "/healthz":
+                self._reply_json(200, {"status": "ok", **srv_meta})
+            elif self.path == "/stats":
+                self._reply_json(200, stats.snapshot())
+            else:
+                self._reply_json(404, {"error": "unknown path"})
+
+        def do_POST(self):  # noqa: N802
+            if not self.path.startswith("/predict"):
+                self._reply_json(404, {"error": "unknown path"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                raw = self.rfile.read(length)
+                import cv2
+
+                from fenet.cli.predict import normalize_rgb
+
+                bgr = cv2.imdecode(np.frombuffer(raw, np.uint8),
+                                   cv2.IMREAD_COLOR)
+                if bgr is None:
+                    self._reply_json(400, {"error": "undecodable image"})
+                    stats.bump(False)
+                    return
+                img = normalize_rgb(cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB))
+                cloud = batcher.submit(img.astype(np.uint8)).result(
+                    timeout=120.0
+                )
+            except Exception as e:  # pragma: no cover - network edges
+                self._reply_json(500, {"error": str(e)[:300]})
+                stats.bump(False)
+                return
+            if "format=ply" in self.path:
+                import io
+
+                import tempfile
+
+                from fenet.utils.ply import export_pointcloud
+
+                with tempfile.NamedTemporaryFile(suffix=".ply") as f:
+                    export_pointcloud(cloud, f.name, as_text=False)
+                    body = open(f.name, "rb").read()
+                self._reply(200, body, "application/octet-stream")
+            else:
+                self._reply_json(200, {"points": cloud.tolist()})
+            stats.bump(True)
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    server.batcher = batcher
+    server.stats = stats
+    server.meta = srv_meta
+    return server

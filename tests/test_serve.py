@@ -1,0 +1,234 @@
+"""Serving runtime: micro-batcher semantics + the HTTP front end e2e.
+
+No reference counterpart (the reference has no serving entry point —
+testnet.py:28-79 is its only inference surface); these tests pin the
+fenet.serve contract: fixed-batch padded dispatch, row-correct fan-out,
+error propagation, and the wire protocol of fenet.cli.serve.
+"""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+
+def _identityish_forward(calls):
+    """Fake forward: records batch shapes, returns per-row clouds encoding
+    the row's mean pixel so fan-out can be checked row by row."""
+
+    def forward(images):
+        calls.append(images.shape)
+        b = images.shape[0]
+        means = images.reshape(b, -1).mean(axis=1).astype(np.float32)
+        return np.tile(means[:, None, None], (1, 4, 3))
+
+    return forward
+
+
+def test_microbatcher_batches_pads_and_fans_out():
+    from fenet.serve.batcher import MicroBatcher
+
+    calls = []
+    mb = MicroBatcher(_identityish_forward(calls), max_batch=4,
+                      window_ms=50.0)
+    imgs = [np.full((2, 2, 3), v, np.uint8) for v in (10, 20, 30)]
+    futs = [mb.submit(im) for im in imgs]
+    outs = [f.result(timeout=10) for f in futs]
+    mb.close()
+    # Row-correct fan-out: each result encodes its own image's mean.
+    for im, out in zip(imgs, outs):
+        assert out.shape == (4, 3)
+        np.testing.assert_allclose(out, float(im.mean()))
+    # Static shapes: every dispatched batch was padded to max_batch.
+    assert all(shape[0] == 4 for shape in calls)
+    # The 50 ms window gathered the burst into one dispatch.
+    assert len(calls) == 1
+
+
+def test_microbatcher_full_batch_dispatches_early_and_splits():
+    from fenet.serve.batcher import MicroBatcher
+
+    calls = []
+    mb = MicroBatcher(_identityish_forward(calls), max_batch=2,
+                      window_ms=5000.0)  # window long enough to hang if
+    # the full-batch early dispatch were broken
+    futs = [mb.submit(np.full((2, 2, 3), v, np.uint8))
+            for v in (1, 2, 3, 4)]
+    outs = [f.result(timeout=10) for f in futs]
+    mb.close()
+    assert [float(o[0, 0]) for o in outs] == [1.0, 2.0, 3.0, 4.0]
+    assert len(calls) == 2  # 4 requests / max_batch 2, no window wait
+
+
+def test_microbatcher_propagates_forward_errors_and_keeps_serving():
+    from fenet.serve.batcher import MicroBatcher
+
+    state = {"fail": True}
+
+    def forward(images):
+        if state["fail"]:
+            raise RuntimeError("injected")
+        return np.zeros((images.shape[0], 4, 3), np.float32)
+
+    mb = MicroBatcher(forward, max_batch=2, window_ms=1.0)
+    with pytest.raises(RuntimeError, match="injected"):
+        mb.submit(np.zeros((2, 2, 3), np.uint8)).result(timeout=10)
+    state["fail"] = False  # the dispatcher must have survived
+    out = mb.submit(np.zeros((2, 2, 3), np.uint8)).result(timeout=10)
+    mb.close()
+    assert out.shape == (4, 3)
+
+
+def test_microbatcher_concurrent_submitters():
+    from fenet.serve.batcher import MicroBatcher
+
+    calls = []
+    mb = MicroBatcher(_identityish_forward(calls), max_batch=8,
+                      window_ms=20.0)
+    results = {}
+
+    def worker(v):
+        results[v] = mb.predict(np.full((2, 2, 3), v, np.uint8))
+
+    threads = [threading.Thread(target=worker, args=(v,))
+               for v in range(16)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    mb.close()
+    assert len(results) == 16
+    for v, out in results.items():
+        np.testing.assert_allclose(out, float(v))
+
+
+@pytest.fixture(scope="module")
+def http_server(tmp_path_factory):
+    """A live fenet.cli.serve stack over a real (tiny) deploy artifact:
+    export -> build_forward (dp-sharded over the fake 8-device mesh) ->
+    ThreadingHTTPServer on an ephemeral port."""
+    import jax
+
+    from fenet.cli.export_deploy import main as export_main
+    from fenet.models.generator import Generator
+    from fenet.serve.server import make_server
+    from fenet.train.checkpoint import save_checkpoint
+
+    tmp = tmp_path_factory.mktemp("serve")
+    gen = Generator(num_points=256, backbone="RepVGG-TEST",
+                    fine_width=32, mid_width=16)
+    rng = np.random.RandomState(11)
+    variables = gen.init(
+        jax.random.PRNGKey(0),
+        rng.rand(1, 128, 128, 3).astype(np.float32), train=False,
+    )
+    save_checkpoint(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"], "epoch": 1},
+        True, "t", str(tmp), 1,
+    )
+    artifact = export_main([
+        "--model", str(tmp), "--backbone", "RepVGG-TEST",
+        "--num_points", "256", "--fine_width", "32", "--mid_width", "16",
+        "--dtype", "bfloat16", "--out", str(tmp / "deploy.ckpt"),
+    ])
+    server = make_server(artifact, port=0, max_batch=8, window_ms=5.0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    yield server, f"http://127.0.0.1:{server.server_address[1]}"
+    server.shutdown()
+    server.batcher.close()
+
+
+def _png_bytes(side=137, seed=0):
+    import cv2
+
+    rng = np.random.RandomState(seed)
+    ok, buf = cv2.imencode(
+        ".png", rng.randint(0, 256, (side, side, 3), np.uint8)
+    )
+    assert ok
+    return buf.tobytes()
+
+
+def test_http_healthz_and_stats(http_server):
+    _, base = http_server
+    health = json.load(urllib.request.urlopen(base + "/healthz", timeout=30))
+    assert health["status"] == "ok"
+    assert health["num_points"] == 256
+    assert health["dtype"] == "bfloat16"
+    stats = json.load(urllib.request.urlopen(base + "/stats", timeout=30))
+    assert set(stats) == {"served", "errors"}
+
+
+def test_http_predict_json_and_ply(http_server):
+    from fenet.utils.ply import load_pointcloud
+
+    _, base = http_server
+    body = _png_bytes(seed=1)
+    resp = json.load(urllib.request.urlopen(
+        urllib.request.Request(base + "/predict", data=body), timeout=120
+    ))
+    pts = np.asarray(resp["points"], np.float32)
+    assert pts.shape == (256, 3) and np.all(np.isfinite(pts))
+
+    raw = urllib.request.urlopen(
+        urllib.request.Request(base + "/predict?format=ply", data=body),
+        timeout=120,
+    ).read()
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".ply") as f:
+        f.write(raw)
+        f.flush()
+        cloud = load_pointcloud(f.name)
+    # Same image -> same cloud on both wire formats (PLY is binary f32).
+    np.testing.assert_allclose(cloud, pts, rtol=1e-6, atol=1e-6)
+
+
+def test_http_predict_rejects_garbage(http_server):
+    server, base = http_server
+    try:
+        urllib.request.urlopen(
+            urllib.request.Request(base + "/predict", data=b"not an image"),
+            timeout=30,
+        )
+        raised = False
+    except urllib.error.HTTPError as e:
+        raised = True
+        assert e.code == 400
+    assert raised
+
+
+def test_http_concurrent_requests_micro_batch(http_server):
+    """Concurrent HTTP clients ride one padded device batch (served count
+    grows by exactly the request count; all rows finite and distinct
+    per image)."""
+    server, base = http_server
+    before = server.stats.snapshot()["served"]
+    results = {}
+
+    def worker(seed):
+        body = _png_bytes(seed=seed)
+        resp = json.load(urllib.request.urlopen(
+            urllib.request.Request(base + "/predict", data=body),
+            timeout=120,
+        ))
+        results[seed] = np.asarray(resp["points"], np.float32)
+
+    threads = [threading.Thread(target=worker, args=(s,))
+               for s in range(2, 8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert len(results) == 6
+    for out in results.values():
+        assert out.shape == (256, 3) and np.all(np.isfinite(out))
+    # Different inputs map to different clouds (row fan-out is not mixed
+    # up by the padding).
+    flat = [tuple(np.round(v[:2].ravel(), 4)) for v in results.values()]
+    assert len(set(flat)) == len(flat)
+    assert server.stats.snapshot()["served"] == before + 6
