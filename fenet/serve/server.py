@@ -41,6 +41,10 @@ def build_forward(deploy_ckpt: str, max_batch: int):
     gen, variables, dtype = load_deploy_checkpoint(deploy_ckpt)
     mesh = make_mesh()
     variables = jax.device_put(variables, replicate(mesh))
+    # Even shards: the fixed serving batch must divide over the mesh
+    # (same rounding as fenet.cli.predict).
+    n_dev = int(mesh.devices.size)
+    max_batch = -(-max_batch // n_dev) * n_dev
 
     @jax.jit
     def fwd(v, images):
@@ -87,6 +91,7 @@ def make_server(deploy_ckpt: str, host: str = "127.0.0.1", port: int = 8471,
 
     if forward is None:
         forward, meta = build_forward(deploy_ckpt, max_batch)
+        max_batch = meta["max_batch"]  # rounded up to the device count
     batcher = MicroBatcher(forward, max_batch=max_batch,
                            window_ms=window_ms)
     stats = _Stats()

@@ -105,15 +105,12 @@ def test_microbatcher_concurrent_submitters():
 
 
 @pytest.fixture(scope="module")
-def http_server(tmp_path_factory):
-    """A live fenet.cli.serve stack over a real (tiny) deploy artifact:
-    export -> build_forward (dp-sharded over the fake 8-device mesh) ->
-    ThreadingHTTPServer on an ephemeral port."""
+def deploy_artifact(tmp_path_factory):
+    """A real (tiny) bf16 deploy artifact exported through the CLI."""
     import jax
 
     from fenet.cli.export_deploy import main as export_main
     from fenet.models.generator import Generator
-    from fenet.serve.server import make_server
     from fenet.train.checkpoint import save_checkpoint
 
     tmp = tmp_path_factory.mktemp("serve")
@@ -129,12 +126,21 @@ def http_server(tmp_path_factory):
          "batch_stats": variables["batch_stats"], "epoch": 1},
         True, "t", str(tmp), 1,
     )
-    artifact = export_main([
+    return export_main([
         "--model", str(tmp), "--backbone", "RepVGG-TEST",
         "--num_points", "256", "--fine_width", "32", "--mid_width", "16",
         "--dtype", "bfloat16", "--out", str(tmp / "deploy.ckpt"),
     ])
-    server = make_server(artifact, port=0, max_batch=8, window_ms=5.0)
+
+
+@pytest.fixture(scope="module")
+def http_server(deploy_artifact):
+    """A live fenet.cli.serve stack: build_forward (dp-sharded over the
+    fake 8-device mesh) -> ThreadingHTTPServer on an ephemeral port."""
+    from fenet.serve.server import make_server
+
+    server = make_server(deploy_artifact, port=0, max_batch=8,
+                         window_ms=5.0)
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()
     yield server, f"http://127.0.0.1:{server.server_address[1]}"
@@ -186,6 +192,24 @@ def test_http_predict_json_and_ply(http_server):
         cloud = load_pointcloud(f.name)
     # Same image -> same cloud on both wire formats (PLY is binary f32).
     np.testing.assert_allclose(cloud, pts, rtol=1e-6, atol=1e-6)
+
+
+def test_build_forward_rounds_and_serves_odd_batch(deploy_artifact):
+    """max_batch below (or not a multiple of) the device count must be
+    rounded up, or every dispatched batch would fail to shard over the
+    mesh."""
+    import jax
+
+    from fenet.serve.batcher import MicroBatcher
+    from fenet.serve.server import build_forward
+
+    forward, meta = build_forward(deploy_artifact, max_batch=3)
+    n_dev = len(jax.devices())
+    assert meta["max_batch"] % n_dev == 0 and meta["max_batch"] >= 3
+    mb = MicroBatcher(forward, max_batch=meta["max_batch"], window_ms=1.0)
+    out = mb.predict(np.zeros((128, 128, 3), np.uint8))
+    mb.close()
+    assert out.shape == (256, 3) and np.all(np.isfinite(out))
 
 
 def test_http_predict_rejects_garbage(http_server):
