@@ -51,9 +51,13 @@ def build_forward(deploy_ckpt: str, max_batch: int):
         _, _, pc = gen.apply(v, images.astype(dtype), train=False)
         return pc
 
-    def forward(images: np.ndarray) -> np.ndarray:
+    def forward(images: np.ndarray):
+        # Returns the in-flight device array (jax async dispatch): the
+        # MicroBatcher fetches it only after the NEXT batch is dispatched,
+        # overlapping this batch's compute with the next one's
+        # host->device transfer (depth-1 pipeline, batcher.py).
         sharded = shard_batch({"image": images.astype(np.uint8)}, mesh)
-        return np.asarray(fwd(variables, sharded["image"]), np.float32)
+        return fwd(variables, sharded["image"])
 
     meta = {"num_points": gen.num_points, "backbone": gen.backbone,
             "dtype": np.dtype(dtype).name, "max_batch": max_batch,

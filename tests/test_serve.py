@@ -81,6 +81,46 @@ def test_microbatcher_propagates_forward_errors_and_keeps_serving():
     assert out.shape == (4, 3)
 
 
+def test_microbatcher_depth1_pipeline_overlaps_inflight_batches():
+    """The dispatcher must issue batch i+1 BEFORE fetching batch i's
+    result (depth-1 pipeline): with a forward that returns a lazy
+    array-like whose materialization sleeps, the next dispatch timestamp
+    lands before the previous fetch completes — and every row still fans
+    out correctly."""
+    import time
+
+    from fenet.serve.batcher import MicroBatcher
+
+    dispatches, fetch_ends = [], []
+
+    class Lazy:
+        def __init__(self, val):
+            self.val = val
+
+        def __array__(self, dtype=None, copy=None):
+            time.sleep(0.05)  # device "compute": fetch blocks until done
+            fetch_ends.append(time.time())
+            v = self.val
+            return v.astype(dtype) if dtype is not None else v
+
+    def forward(images):
+        dispatches.append(time.time())
+        b = images.shape[0]
+        means = images.reshape(b, -1).mean(axis=1).astype(np.float32)
+        return Lazy(np.tile(means[:, None, None], (1, 4, 3)))
+
+    mb = MicroBatcher(forward, max_batch=1, window_ms=1.0)
+    futs = [mb.submit(np.full((2, 2, 3), v, np.uint8))
+            for v in (5, 6, 7, 8)]
+    outs = [f.result(timeout=30) for f in futs]
+    mb.close()
+    for v, out in zip((5, 6, 7, 8), outs):
+        np.testing.assert_allclose(out, float(v))
+    assert len(dispatches) == 4 and len(fetch_ends) == 4
+    # Overlap: batch 1's dispatch precedes batch 0's fetch completion.
+    assert dispatches[1] < fetch_ends[0]
+
+
 def test_microbatcher_concurrent_submitters():
     from fenet.serve.batcher import MicroBatcher
 
