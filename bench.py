@@ -16,6 +16,7 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -298,6 +299,10 @@ def run_inference_bench(model, variables, mesh, batch=256, reps=20,
 
     from fenet.models.generator import to_deploy
 
+    if deployed is not None and dtype is not None:
+        # A pre-folded fp32 tree with bf16 inputs would silently promote
+        # back to fp32 and mislabel the measurement.
+        raise ValueError("pass either deployed= or dtype=, not both")
     dep_model, dep_vars = deployed or to_deploy(model, variables,
                                                 dtype=dtype)
     compute_dtype = dtype or jnp.float32
@@ -318,7 +323,7 @@ def run_inference_bench(model, variables, mesh, batch=256, reps=20,
     return batch * reps / (time.time() - t0)
 
 
-def run_serving_latency(model, variables, deployed=None, reps=30):
+def run_serving_latency(model, variables, deployed=None, reps=200):
     """Single-request serving latency: p50/p99 ms for one image -> one
     1024-pt cloud through the deploy-folded forward, input staged in HBM
     (isolates chip latency from this host's tunneled link). Per-call drain:
@@ -346,8 +351,12 @@ def run_serving_latency(model, variables, deployed=None, reps=30):
         np.asarray(fwd(dep_vars, img))
         lat.append((time.time() - t0) * 1e3)
     lat.sort()
+    # ceil(q*n)-1: at n=200 the p99 index is 197 — a real quantile, not
+    # the max in disguise (int(0.99*n) == n-1 for any n <= 100).
+    p99_idx = max(0, math.ceil(0.99 * len(lat)) - 1)
     return {"p50_ms": round(lat[len(lat) // 2], 3),
-            "p99_ms": round(lat[min(len(lat) - 1, int(len(lat) * 0.99))], 3)}
+            "p99_ms": round(lat[p99_idx], 3),
+            "max_ms": round(lat[-1], 3), "reps": len(lat)}
 
 
 def run_reference_structured(model, variables, batches, n_samples=48):

@@ -112,13 +112,17 @@ def load_deploy_checkpoint(path: str):
     )
     template = gen.init(jax.random.PRNGKey(0),
                         np.zeros((1, 128, 128, 3), np.float32), train=False)
-    template = jax.tree_util.tree_map(
-        lambda x: jnp.asarray(x, dtype), template
-    )
     with open(path, "rb") as f:
         variables = flax.serialization.from_bytes(
             {"params": template["params"]}, f.read()
         )
+    # from_bytes restores leaves at their SERIALIZED dtype regardless of
+    # the template; enforce the sidecar's declared precision here so a
+    # mismatched/tampered artifact cannot serve at a dtype other than the
+    # one this function reports.
+    variables = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x, dtype), variables
+    )
     return gen, variables, dtype
 
 

@@ -24,21 +24,7 @@ import os
 import numpy as np
 
 
-def normalize_rgb(img: np.ndarray) -> np.ndarray:
-    """RGB HWC -> float32 128x128x3 — the network's input contract.
-
-    ShapeNet renders are 137x137 and the datasets crop [4:-5, 4:-5]
-    (data/shapenet.py:118); arbitrary serving inputs get the same crop
-    when they arrive at 137x137, a plain resize otherwise. Raw 0..255
-    pixels, no normalization — matching training exactly. Shared by this
-    CLI and the HTTP server (fenet.serve)."""
-    import cv2
-
-    if img.shape[:2] == (137, 137):
-        img = img[4:-5, 4:-5]
-    elif img.shape[:2] != (128, 128):
-        img = cv2.resize(img, (128, 128), interpolation=cv2.INTER_AREA)
-    return img[:, :, :3].astype(np.float32)
+from fenet.utils.images import normalize_rgb
 
 
 def _load_image(path: str) -> np.ndarray:
@@ -77,50 +63,36 @@ def main(argv=None):
     if not paths:
         raise FileNotFoundError(f"no images match {opt.images!r}")
 
-    import jax
-
-    from fenet.cli.export_deploy import load_deploy_checkpoint
+    from fenet.serve.server import build_forward
     from fenet.utils.ply import export_pointcloud
 
-    gen, variables, dtype = load_deploy_checkpoint(opt.deploy_ckpt)
-
-    # Serving is data-parallel over every local device: params replicated,
-    # image batches sharded on the batch axis — GSPMD propagates the
-    # sharding through the forward, so one jitted program serves 1 or N
-    # chips identically (the same layer eval uses, fenet/parallel/mesh.py).
-    from fenet.parallel.mesh import make_mesh, replicate, shard_batch
-
-    mesh = make_mesh()
-    variables = jax.device_put(variables, replicate(mesh))
-
-    @jax.jit
-    def forward(variables, images):
-        # Upcast on device (uint8 wire format, 4x less transfer) to the
-        # artifact's serving dtype — bf16 params + fp32 images would
-        # silently re-promote the whole forward to fp32.
-        _, _, pc = gen.apply(variables, images.astype(dtype), train=False)
-        return pc
+    # ONE construction of the dp-sharded replicated-params serving forward
+    # for both this CLI and the HTTP server (fenet/serve/server.py); the
+    # batch is rounded up to the device count there.
+    forward, meta = build_forward(opt.deploy_ckpt, opt.batchSize)
+    bs = meta["max_batch"]
 
     os.makedirs(opt.out_dir, exist_ok=True)
-    n_dev = mesh.devices.size
-    # Static shapes + even shards: round the batch up to the device count.
-    bs = -(-opt.batchSize // n_dev) * n_dev
     written = []
+    used_names = set()  # chair.png + chair.jpg must not collide on .ply
     for start in range(0, len(paths), bs):
         chunk = paths[start:start + bs]
         images = np.stack([_load_image(p) for p in chunk])
         if len(chunk) < bs:  # static shapes: one compiled program total
             pad = bs - len(chunk)
             images = np.concatenate([images, images[-1:].repeat(pad, 0)])
-        sharded = shard_batch({"image": images.astype(np.uint8)}, mesh)
-        clouds = np.asarray(forward(variables, sharded["image"]), np.float32)
+        clouds = np.asarray(forward(images.astype(np.uint8)), np.float32)
         for path, cloud in zip(chunk, clouds):
-            name = os.path.splitext(os.path.basename(path))[0] + ".ply"
+            stem = os.path.splitext(os.path.basename(path))[0]
+            name, k = stem + ".ply", 1
+            while name in used_names:
+                name, k = f"{stem}_{k}.ply", k + 1
+            used_names.add(name)
             out = os.path.join(opt.out_dir, name)
             export_pointcloud(cloud, out, as_text=not opt.ply_binary)
             written.append(out)
     print(f"wrote {len(written)} clouds to {opt.out_dir} "
-          f"(dtype={np.dtype(dtype).name}, n_points={gen.num_points})")
+          f"(dtype={meta['dtype']}, n_points={meta['num_points']})")
     return written
 
 

@@ -46,12 +46,16 @@ def edge_conv2d(x: jnp.ndarray) -> jnp.ndarray:
     """
     import jax.lax as lax
 
-    # The constant kernel follows the input dtype: under a bf16 serving
-    # fold (to_deploy dtype=bfloat16) an fp32 kernel would silently promote
-    # the whole edge path (and everything concatenated after it) back to
-    # fp32, forfeiting the MXU bf16 rate the fold exists to buy.
+    # The constant kernel follows FLOATING input dtypes: under a bf16
+    # serving fold (to_deploy dtype=bfloat16) an fp32 kernel would silently
+    # promote the whole edge path (and everything concatenated after it)
+    # back to fp32, forfeiting the MXU bf16 rate the fold exists to buy.
+    # Integer inputs keep the fp32 kernel — casting [-1/3, 8/3] to int
+    # would truncate to [0, 2] and corrupt the edge map silently, whereas
+    # the fp32-kernel/int-input mismatch fails loudly in lax.conv.
+    kdtype = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
     kernel = jnp.broadcast_to(
-        _EDGE_KERNEL.astype(x.dtype)[:, :, None, None], (3, 3, 3, 3)
+        _EDGE_KERNEL.astype(kdtype)[:, :, None, None], (3, 3, 3, 3)
     )
     return lax.conv_general_dilated(
         x,

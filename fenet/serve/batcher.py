@@ -45,6 +45,7 @@ class MicroBatcher:
         self._window_s = window_ms / 1e3
         self._queue: "queue.Queue" = queue.Queue()
         self._closed = threading.Event()
+        self._submit_lock = threading.Lock()  # makes submit/close atomic
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -52,10 +53,11 @@ class MicroBatcher:
     def submit(self, image: np.ndarray) -> Future:
         """Enqueue one (H, W, C) uint8 image; resolves to (num_points, 3)
         float32. Raises after close()."""
-        if self._closed.is_set():
-            raise RuntimeError("MicroBatcher is closed")
         fut: Future = Future()
-        self._queue.put((np.asarray(image), fut))
+        with self._submit_lock:
+            if self._closed.is_set():
+                raise RuntimeError("MicroBatcher is closed")
+            self._queue.put((np.asarray(image), fut))
         return fut
 
     def predict(self, image: np.ndarray) -> np.ndarray:
@@ -63,8 +65,9 @@ class MicroBatcher:
 
     def close(self, timeout: float = 10.0):
         """Stop the dispatcher; queued requests still drain first."""
-        self._closed.set()
-        self._queue.put(None)  # wake the blocking get
+        with self._submit_lock:  # no submit can slip in past the sentinel
+            self._closed.set()
+            self._queue.put(None)  # wake the blocking get
         self._thread.join(timeout)
 
     # -- dispatcher -------------------------------------------------------
@@ -139,16 +142,24 @@ class MicroBatcher:
                 if self._closed.is_set() and self._queue.empty():
                     return
                 continue
-            images = np.stack([img for img, _ in batch])
-            n = images.shape[0]
-            if n < self._max_batch:  # static shapes: pad to the one program
-                pad = self._max_batch - n
-                images = np.concatenate([images, images[-1:].repeat(pad, 0)])
             try:
+                # Assembly is inside the try too: a shape-mismatched
+                # submission (mixed image sizes in one batch) must fail
+                # THAT batch, not kill the dispatcher thread.
+                images = np.stack([img for img, _ in batch])
+                n = images.shape[0]
+                if n < self._max_batch:  # static shapes: pad to the program
+                    pad = self._max_batch - n
+                    images = np.concatenate(
+                        [images, images[-1:].repeat(pad, 0)]
+                    )
                 out = self._forward(images)  # async dispatch, no fetch yet
             except Exception as e:  # propagate to every waiter, keep serving
                 for _, fut in batch:
                     fut.set_exception(e)
+                if pending is not None:  # don't strand a completed batch
+                    self._resolve(*pending)
+                    pending = None
                 continue
             if pending is not None:
                 self._resolve(*pending)

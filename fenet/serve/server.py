@@ -118,15 +118,21 @@ def make_server(deploy_ckpt: str, host: str = "127.0.0.1", port: int = 8471,
             self._reply(code, json.dumps(obj).encode(), "application/json")
 
         def do_GET(self):  # noqa: N802 (stdlib API)
-            if self.path == "/healthz":
+            from urllib.parse import urlsplit
+
+            path = urlsplit(self.path).path
+            if path == "/healthz":
                 self._reply_json(200, {"status": "ok", **srv_meta})
-            elif self.path == "/stats":
+            elif path == "/stats":
                 self._reply_json(200, stats.snapshot())
             else:
                 self._reply_json(404, {"error": "unknown path"})
 
         def do_POST(self):  # noqa: N802
-            if not self.path.startswith("/predict"):
+            from urllib.parse import parse_qs, urlsplit
+
+            url = urlsplit(self.path)
+            if url.path != "/predict":
                 self._reply_json(404, {"error": "unknown path"})
                 return
             try:
@@ -134,7 +140,7 @@ def make_server(deploy_ckpt: str, host: str = "127.0.0.1", port: int = 8471,
                 raw = self.rfile.read(length)
                 import cv2
 
-                from fenet.cli.predict import normalize_rgb
+                from fenet.utils.images import normalize_rgb
 
                 bgr = cv2.imdecode(np.frombuffer(raw, np.uint8),
                                    cv2.IMREAD_COLOR)
@@ -150,7 +156,7 @@ def make_server(deploy_ckpt: str, host: str = "127.0.0.1", port: int = 8471,
                 self._reply_json(500, {"error": str(e)[:300]})
                 stats.bump(False)
                 return
-            if "format=ply" in self.path:
+            if parse_qs(url.query).get("format", ["json"])[0] == "ply":
                 import io
 
                 import tempfile

@@ -217,11 +217,15 @@ def test_predict_cli_serves_deploy_artifact(tmp_path):
     for i, side in enumerate((137, 64, 200)):
         cv2.imwrite(str(img_dir / f"im{i}.png"),
                     rng.randint(0, 256, (side, side, 3), np.uint8))
+    # Same stem, different extension: the .ply names must not collide.
+    cv2.imwrite(str(img_dir / "im1.jpg"),
+                rng.randint(0, 256, (64, 64, 3), np.uint8))
     written = predict_main([
         "--deploy_ckpt", artifact, "--images", str(img_dir),
         "--out_dir", str(tmp_path / "out"), "--batchSize", "2",
     ])
-    assert len(written) == 3
+    assert len(written) == 4
+    assert len(set(written)) == 4  # unique output files, no overwrite
     for ply in written:
         cloud = load_pointcloud(ply)
         assert cloud.shape == (256, 3)

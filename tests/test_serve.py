@@ -121,6 +121,58 @@ def test_microbatcher_depth1_pipeline_overlaps_inflight_batches():
     assert dispatches[1] < fetch_ends[0]
 
 
+def test_microbatcher_shape_mismatch_fails_batch_not_dispatcher():
+    """Mixed image sizes in one batch must fail THAT batch's futures and
+    leave the dispatcher alive for well-formed traffic."""
+    from fenet.serve.batcher import MicroBatcher
+
+    calls = []
+    mb = MicroBatcher(_identityish_forward(calls), max_batch=2,
+                      window_ms=50.0)
+    f1 = mb.submit(np.zeros((2, 2, 3), np.uint8))
+    f2 = mb.submit(np.zeros((4, 4, 3), np.uint8))  # np.stack must raise
+    with pytest.raises(ValueError):
+        f1.result(timeout=10)
+    with pytest.raises(ValueError):
+        f2.result(timeout=10)
+    out = mb.predict(np.full((2, 2, 3), 9, np.uint8))  # still serving
+    mb.close()
+    np.testing.assert_allclose(out, 9.0)
+
+
+def test_microbatcher_forward_error_still_resolves_pending():
+    """A failing dispatch must not strand the previous (already computed)
+    in-flight batch's waiters."""
+    import time
+
+    from fenet.serve.batcher import MicroBatcher
+
+    class Lazy:
+        def __init__(self, val):
+            self.val = val
+
+        def __array__(self, dtype=None, copy=None):
+            time.sleep(0.02)
+            v = self.val
+            return v.astype(dtype) if dtype is not None else v
+
+    def forward(images):
+        if images.shape[1] == 4:  # the poisoned request
+            raise RuntimeError("boom")
+        b = images.shape[0]
+        means = images.reshape(b, -1).mean(axis=1).astype(np.float32)
+        return Lazy(np.tile(means[:, None, None], (1, 4, 3)))
+
+    mb = MicroBatcher(forward, max_batch=1, window_ms=1.0)
+    good = mb.submit(np.full((2, 2, 3), 7, np.uint8))
+    bad = mb.submit(np.zeros((4, 4, 3), np.uint8))
+    with pytest.raises(RuntimeError, match="boom"):
+        bad.result(timeout=10)
+    # The good batch (dispatched first, pending when bad failed) resolves.
+    np.testing.assert_allclose(good.result(timeout=10), 7.0)
+    mb.close()
+
+
 def test_microbatcher_concurrent_submitters():
     from fenet.serve.batcher import MicroBatcher
 
@@ -250,6 +302,28 @@ def test_build_forward_rounds_and_serves_odd_batch(deploy_artifact):
     out = mb.predict(np.zeros((128, 128, 3), np.uint8))
     mb.close()
     assert out.shape == (256, 3) and np.all(np.isfinite(out))
+
+
+def test_http_routes_are_exact(http_server):
+    """Substring lookalikes must 404; a format value of 'ply' in another
+    query parameter must not select PLY output."""
+    _, base = http_server
+    try:
+        urllib.request.urlopen(
+            urllib.request.Request(base + "/predictfoo",
+                                   data=_png_bytes(seed=9)),
+            timeout=30,
+        )
+        code = 200
+    except urllib.error.HTTPError as e:
+        code = e.code
+    assert code == 404
+    resp = urllib.request.urlopen(
+        urllib.request.Request(base + "/predict?note=format%3Dply",
+                               data=_png_bytes(seed=9)),
+        timeout=120,
+    )
+    assert resp.headers["Content-Type"] == "application/json"
 
 
 def test_http_predict_rejects_garbage(http_server):
