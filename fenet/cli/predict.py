@@ -75,22 +75,37 @@ def main(argv=None):
     os.makedirs(opt.out_dir, exist_ok=True)
     written = []
     used_names = set()  # chair.png + chair.jpg must not collide on .ply
-    for start in range(0, len(paths), bs):
-        chunk = paths[start:start + bs]
-        images = np.stack([_load_image(p) for p in chunk])
-        if len(chunk) < bs:  # static shapes: one compiled program total
-            pad = bs - len(chunk)
-            images = np.concatenate([images, images[-1:].repeat(pad, 0)])
-        clouds = np.asarray(forward(images.astype(np.uint8)), np.float32)
+
+    def flush(chunk, out):
+        """Fetch a dispatched batch (blocks until the device drains) and
+        write its PLYs."""
+        clouds = np.asarray(out, np.float32)
         for path, cloud in zip(chunk, clouds):
             stem = os.path.splitext(os.path.basename(path))[0]
             name, k = stem + ".ply", 1
             while name in used_names:
                 name, k = f"{stem}_{k}.ply", k + 1
             used_names.add(name)
-            out = os.path.join(opt.out_dir, name)
-            export_pointcloud(cloud, out, as_text=not opt.ply_binary)
-            written.append(out)
+            dst = os.path.join(opt.out_dir, name)
+            export_pointcloud(cloud, dst, as_text=not opt.ply_binary)
+            written.append(dst)
+
+    # Depth-1 pipeline (the eval runner's design): batch i is fetched only
+    # after batch i+1 is dispatched, so decode + host->device transfer of
+    # the next batch overlap the current batch's compute.
+    pending = None
+    for start in range(0, len(paths), bs):
+        chunk = paths[start:start + bs]
+        images = np.stack([_load_image(p) for p in chunk])
+        if len(chunk) < bs:  # static shapes: one compiled program total
+            pad = bs - len(chunk)
+            images = np.concatenate([images, images[-1:].repeat(pad, 0)])
+        out = forward(images.astype(np.uint8))  # async dispatch
+        if pending is not None:
+            flush(*pending)
+        pending = (chunk, out)
+    if pending is not None:
+        flush(*pending)
     print(f"wrote {len(written)} clouds to {opt.out_dir} "
           f"(dtype={meta['dtype']}, n_points={meta['num_points']})")
     return written
