@@ -644,13 +644,21 @@ def _run(opt):
     from fenet.models.generator import to_deploy
 
     deployed = to_deploy(model, variables)  # fold once for the whole sweep
-    serving_sweep = {
-        b: run_inference_bench(model, variables, mesh, batch=b,
-                               deployed=deployed)
-        for b in (256, 512, 1024)
-    }
-    serving_batch = max(serving_sweep, key=serving_sweep.get)
-    serving_ips = serving_sweep[serving_batch]
+    serving_sweep = {}
+    for b in (256, 512, 1024):
+        try:
+            serving_sweep[b] = run_inference_bench(
+                model, variables, mesh, batch=b, deployed=deployed
+            )
+        except Exception as e:  # pragma: no cover - depends on backend
+            # Keep whatever batches DID measure; b=256 ran on-chip in
+            # round 2, the larger shapes are first-compiled here.
+            serving_sweep[b] = f"error: {str(e)[-200:]}"
+    measured = {b: v for b, v in serving_sweep.items()
+                if isinstance(v, float)}
+    serving_batch = (max(measured, key=measured.get) if measured
+                     else 256)
+    serving_ips = measured.get(serving_batch)
     # bf16 serving export at the fp32-best batch (one extra fold+compile).
     # Fault-isolated like the sinkhorn section: optional measurements must
     # not cost the headline capture on an unexpected backend failure.
@@ -690,10 +698,14 @@ def _run(opt):
                 "transfer-bound here)"
             ),
             "serving": {
-                "images_per_sec_chip": round(serving_ips, 3),
+                "images_per_sec_chip": (
+                    round(serving_ips, 3) if serving_ips is not None
+                    else None
+                ),
                 "batch": serving_batch,
                 "sweep": {
-                    str(b): round(v, 3) for b, v in serving_sweep.items()
+                    str(b): (round(v, 3) if isinstance(v, float) else v)
+                    for b, v in serving_sweep.items()
                 },
                 "bf16_images_per_sec_chip": (
                     round(serving_bf16_ips, 3)
