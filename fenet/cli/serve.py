@@ -44,10 +44,19 @@ def main(argv=None):
     logger.info("serving %s on http://%s:%d (max_batch=%d, %s)",
                 opt.deploy_ckpt, opt.host, opt.port, opt.max_batch,
                 server.meta)
+
+    # Production shutdown: SIGTERM (the orchestrator's stop signal) drains
+    # like Ctrl-C — in-flight batches resolve, then the listener closes.
+    import signal
+
+    def _term(signum, frame):
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _term)
     try:
         server.serve_forever()
     except KeyboardInterrupt:
-        pass
+        logger.info("shutting down (drain + close)")
     finally:
         server.shutdown()
         server.batcher.close()
