@@ -50,23 +50,30 @@ def _probe_backend(attempts=3, timeout=150.0, wait=30.0):
             )
             if r.returncode == 0:
                 return "ok", r.stdout.strip()
-            last = (r.stderr or r.stdout).strip()[-400:]
+            msg = (r.stderr or r.stdout).strip()[-400:]
             # Only a backend-unavailable signature counts as a platform
             # outage; anything else (ImportError, SIGSEGV, ...) is a code
-            # or environment regression and must NOT be waved off.
-            outage = ("UNAVAILABLE" in last
-                      or "Unable to initialize backend" in last)
+            # or environment regression and must NOT be waved off. The
+            # classification is STICKY: one regression-shaped failure
+            # decides the probe even if later attempts merely time out,
+            # and its message is kept as the evidence.
+            if ("UNAVAILABLE" not in msg
+                    and "Unable to initialize backend" not in msg):
+                outage, last = False, msg
+            elif outage:
+                last = msg
         except subprocess.TimeoutExpired:
-            last = f"backend init hung > {timeout:.0f}s (attempt {i + 1})"
-            outage = True
+            if outage:
+                last = (f"backend init hung > {timeout:.0f}s "
+                        f"(attempt {i + 1})")
         if i < attempts - 1:
             time.sleep(wait)
     return ("outage" if outage else "error"), last
 
 
-def _unavailable_record(msg: str) -> dict:
+def _unavailable_record(msg: str, metric="shapenet_13cat_eval_throughput"):
     return {
-        "metric": "shapenet_13cat_eval_throughput",
+        "metric": metric,
         "value": None,
         "unit": "images/sec/chip",
         "vs_baseline": None,
@@ -587,18 +594,22 @@ def main(argv=None):
                              "~15s when the chip is known-good)")
     opt = parser.parse_args(argv)
 
+    # Error/outage records carry the metric name the run was FOR, so a
+    # --stages outage doesn't get filed under the headline series.
+    metric = "eval_stage_breakdown" if opt.stages \
+        else "shapenet_13cat_eval_throughput"
     if not opt.no_probe:
         status, msg = _probe_backend()
         if status == "outage":
             # Outage, not regression: record it as parseable JSON so the
             # round log distinguishes a down platform from a broken bench.
-            print(json.dumps(_unavailable_record(msg)))
+            print(json.dumps(_unavailable_record(msg, metric)))
             return 0
         if status == "error":
             # Probe failed WITHOUT the unavailable signature — a code or
             # environment regression; surface it loudly (nonzero exit).
             print(json.dumps({
-                "metric": "shapenet_13cat_eval_throughput",
+                "metric": metric,
                 "value": None, "unit": "images/sec/chip",
                 "vs_baseline": None,
                 "error": f"bench_probe_failed: {msg}",
@@ -609,7 +620,7 @@ def main(argv=None):
     except RuntimeError as e:  # backend died mid-run (flap after probe)
         text = str(e)
         if "UNAVAILABLE" in text or "Unable to initialize backend" in text:
-            print(json.dumps(_unavailable_record(text[-400:])))
+            print(json.dumps(_unavailable_record(text[-400:], metric)))
             return 0
         raise
 

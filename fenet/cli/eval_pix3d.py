@@ -53,11 +53,18 @@ def main(argv=None):
     parser.add_argument("--icp_patience", type=int, default=32,
                         help="stop an element after this many non-improving "
                              "ICP iterations (0 = reference full budget)")
+    parser.add_argument("--icp_rel_tolerance", type=float, default=None,
+                        help="fp32 relative plateau exit; default couples "
+                             "to --icp_patience: 1e-6 normally, 0 (OFF, "
+                             "strict reference full-budget semantics) when "
+                             "patience is 0 — as in record_goldens")
     parser.add_argument("--emd_iters", type=int, default=50)
     parser.add_argument("--deploy", action="store_true",
                         help="fold BN + RepVGG branches before eval "
                              "(numerically equivalent, faster forward)")
     opt = parser.parse_args(argv)
+    if opt.icp_rel_tolerance is None:
+        opt.icp_rel_tolerance = 0.0 if opt.icp_patience == 0 else 1e-6
     print(opt)
 
     gen = Generator(num_points=opt.num_points, backbone=opt.backbone,
@@ -89,6 +96,7 @@ def main(argv=None):
         _, _, summary = evaluate_dataset(
             eval_gen, variables, loader, category=cat, logger=logger,
             icp_iterations=opt.icp_iters, icp_patience=opt.icp_patience,
+            icp_rel_tolerance=opt.icp_rel_tolerance,
             emd_iters=opt.emd_iters,
         )
         results[cat] = summary

@@ -43,10 +43,16 @@ from fenet.models.generator import Generator
 from fenet.train.checkpoint import load_checkpoint
 
 
-def _load_variables(gen: Generator, opt, cat: str):
-    """Per-category variables from either checkpoint universe."""
-    sample = np.zeros((1, 128, 128, 3), np.float32)
-    variables = gen.init(jax.random.PRNGKey(0), sample, train=False)
+def _load_variables(gen: Generator, opt, cat: str, template=None):
+    """Per-category variables from either checkpoint universe.
+
+    ``template`` (the deterministic ``gen.init`` restore target) can be
+    shared across categories — at real-ShapeNet widths one init is ~170M
+    params on this 1-core host; neither restore path mutates it."""
+    if template is None:
+        sample = np.zeros((1, 128, 128, 3), np.float32)
+        template = gen.init(jax.random.PRNGKey(0), sample, train=False)
+    variables = template
     if opt.torch_model:
         from fenet.models.convert import load_torch_checkpoint, merge_variables
 
@@ -129,9 +135,12 @@ def main(argv=None):
         "checkpoints": opt.torch_model or opt.model,
         "split": opt.split,
     }, "categories": {}}
+    sample = np.zeros((1, 128, 128, 3), np.float32)
+    template = gen.init(jax.random.PRNGKey(0), sample, train=False)
     for cat in opt.cats:
+        err = None
         try:
-            variables = _load_variables(gen, opt, cat)
+            variables = _load_variables(gen, opt, cat, template)
             ds = ShapeNetDataset(
                 opt.data_dir_imgs, opt.data_dir_pcl, models, [cat],
                 opt.num_points, multi_resolution=False, check_exists=True,
@@ -142,8 +151,23 @@ def main(argv=None):
                     f"no samples for {cat} under {opt.data_dir_imgs}"
                 )
         except FileNotFoundError as e:
-            table["categories"][cat] = {"skipped": str(e)}
-            print(cat, "SKIPPED:", e)
+            err = str(e)
+        if jax.process_count() > 1:
+            # Skip decisions are filesystem-dependent and per-process;
+            # evaluate_dataset is collective. Every process must agree per
+            # category, or schedules diverge and the cluster hangs in a
+            # collective until the watchdog kills it.
+            from jax.experimental import multihost_utils
+
+            oks = multihost_utils.process_allgather(
+                np.asarray([err is None])
+            )
+            if not bool(np.all(oks)) and err is None:
+                err = ("skipped: checkpoint/data missing on another "
+                       "process (collective consistency)")
+        if err is not None:
+            table["categories"][cat] = {"skipped": err}
+            print(cat, "SKIPPED:", err)
             continue
         loader = DataLoader(shard_for_process(ds), opt.batchSize,
                             drop_last=False)

@@ -203,16 +203,41 @@ def train_net(
     if cfg.resume:
         suffix = ".orbax" if cfg.ckpt_format == "orbax" else ".ckpt"
         path = os.path.join(ckpt_dir, f"model_best{suffix}")
-        if not os.path.exists(path) and (not n_proc > 1 or primary):
-            # No validate epoch has produced model_best yet — fall back to
-            # the newest --train_save_freq periodic checkpoint so those
-            # saves are actually resumable.
+        fallback = None
+        if not n_proc > 1 or primary:
+            # Newest --train_save_freq periodic checkpoint (the checkpoint
+            # dir may be host-local, so only the loading process looks).
             from fenet.train.checkpoint import latest_checkpoint
 
             fallback = latest_checkpoint(ckpt_dir, cat, suffix)
+
+        def _load_newest(target):
+            """Resume from the HIGHEST-epoch checkpoint: a periodic save
+            from after the last validate epoch (its epoch is in the
+            filename; model_best's is only in the blob) must win over an
+            older model_best, or a crash between validates silently redoes
+            up to train_save_freq epochs. Periodic blobs carry the
+            running-best metadata, so best-copy semantics survive."""
+            import re as _re
+
+            blob = (load_checkpoint(path, target=target)
+                    if os.path.exists(path) else None)
             if fallback is not None:
-                logger.info("resume: model_best missing, using %s", fallback)
-                path = fallback
+                per_epoch = int(
+                    _re.search(r"_checkpoint_(\d+)", fallback).group(1)
+                )
+                if blob is None or per_epoch > int(blob.get("epoch", 0)):
+                    logger.info(
+                        "resume: periodic checkpoint %s (epoch %d) is "
+                        "newest", fallback, per_epoch,
+                    )
+                    blob = load_checkpoint(fallback, target=target)
+            if blob is None:
+                raise FileNotFoundError(
+                    f"--resume: no checkpoint under {ckpt_dir}"
+                )
+            return blob
+
         target = {
             "params": state.params,
             "batch_stats": state.batch_stats,
@@ -231,7 +256,7 @@ def train_net(
                 # failure counts — a truncated/corrupt checkpoint raises
                 # from the msgpack/orbax layer, not FileNotFoundError.
                 try:
-                    blob = load_checkpoint(path, target=target)
+                    blob = _load_newest(target)
                     found = 1
                 except Exception as e:
                     logger.error("resume: loading %s failed: %r", path, e)
@@ -274,7 +299,7 @@ def train_net(
                     "best_chamfer_loss": float(meta[2]),
                     "best_emd_loss": float(meta[3])}
         else:
-            blob = load_checkpoint(path, target=target)
+            blob = _load_newest(target)
         state = state.replace(
             params=blob["params"], batch_stats=blob["batch_stats"],
             opt_state=blob["opt_state"],

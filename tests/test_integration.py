@@ -110,6 +110,26 @@ def test_periodic_checkpoint_resumable_without_val(workdir, trained):
     assert r2["history"][0]["epoch"] == 2  # resumed past epoch 1
 
 
+def test_resume_prefers_newer_periodic_over_older_best(workdir, trained):
+    """A periodic checkpoint from AFTER the last validate epoch must win
+    over model_best on --resume, or the crash-after-validate case silently
+    redoes up to train_save_freq epochs."""
+    _, cfg = trained
+    out = os.path.join(workdir, "newer_periodic_out") + "/"
+    ds = SyntheticShapeNet(n_models=1, num_points=cfg.num_points)
+    # validate at epoch 1 -> model_best(epoch 1); periodic at epoch 2.
+    cfg1 = TrainConfig(**{**cfg.__dict__, "dir_path": out, "nepoch": 2,
+                          "validate_epochs": (1,), "train_save_freq": 2})
+    r1 = train_net(CAT, cfg1, train_ds=ds, val_ds=ds)
+    ckpt_dir = r1["ckpt_dir"]
+    assert os.path.exists(os.path.join(ckpt_dir, "model_best.ckpt"))
+    assert os.path.exists(os.path.join(ckpt_dir, f"{CAT}_checkpoint_2.ckpt"))
+    cfg2 = TrainConfig(**{**cfg1.__dict__, "resume": True, "nepoch": 3,
+                          "validate_epochs": ()})
+    r2 = train_net(CAT, cfg2, train_ds=ds, val_ds=EmptyDS())
+    assert r2["history"][0]["epoch"] == 3  # resumed from epoch 2, not 1
+
+
 class EmptyDS:
     def __len__(self):
         return 0
