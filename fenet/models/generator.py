@@ -28,11 +28,15 @@ import jax.numpy as jnp
 from fenet.models.repvgg import RepVGG, REPVGG_CONFIGS, _bn
 
 # The reference's 3x3 edge kernel: [[-1,-1,-1],[-1,8,-1],[-1,-1,-1]] / 3,
-# identical for every (in, out) channel pair (…_cmlp.py:13-19).
+# identical for every (in, out) channel pair (…_cmlp.py:13-19). A host
+# numpy constant on purpose: a module-level device array would force
+# backend init at import time (even `--help` would block on a TPU probe).
+import numpy as _np
+
 _EDGE_KERNEL = (
-    jnp.array(
+    _np.array(
         [[-1.0, -1.0, -1.0], [-1.0, 8.0, -1.0], [-1.0, -1.0, -1.0]],
-        jnp.float32,
+        _np.float32,
     )
     / 3.0
 )
