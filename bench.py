@@ -684,6 +684,14 @@ def _run(opt):
                                               deployed=deployed)
     except Exception as e:  # pragma: no cover - depends on backend
         serving_latency = {"error": str(e)[-200:]}
+    # Stage/MFU breakdown in the DRIVER-CAPTURED record too (round-2 gap:
+    # --stages existed but the driver only runs the bare command, so the
+    # utilization evidence never landed in BENCH_r*.json). Fault-isolated:
+    # the headline must survive a stage-bench failure.
+    try:
+        stages = run_stage_bench(model, variables, reps=5)
+    except Exception as e:  # pragma: no cover - depends on backend
+        stages = {"error": str(e)[-200:]}
     result = {
         "metric": "shapenet_13cat_eval_throughput",
         "value": round(throughput, 3),
@@ -702,6 +710,7 @@ def _run(opt):
                 "a GPU measurement"
             ),
             "pipeline": "RepVGG-A2 fwd + ICP(1024,1e-10) + CD + EMD(0.005,50)",
+            "stages": stages,
             "compute_only_images_per_sec": round(compute_tput, 3),
             "compute_only_note": (
                 "inputs pre-staged in HBM; isolates chip compute from this "
