@@ -47,9 +47,14 @@ def _sinkhorn_kernel(
     #         reductions as an (N, 1) column; a (1, N) row output would
     #         need an in-kernel sublane<->lane transpose, which Mosaic
     #         relayout rejects — same layout choice as ops/emd.py's dist)
-    g_ref,  # (1, M) out f32
+    g_out_ref,  # (1, 1, M) out f32 (3-D row layout: a 2-D (1, M) block over
+    #         a (B, M) array fails Mosaic's block-shape rule for B > 1 —
+    #         last two block dims must divide (8, 128) or equal the array
+    #         dims; over (B, 1, M) the block's last two dims (1, M) equal
+    #         the array's, so any batch lowers)
     c_ref,  # (N, M) scratch f32
     fcol_ref,  # (N, 1) scratch f32
+    g_ref,  # (1, M) scratch f32 (row working buffer for the iteration)
     *,
     n: int,
     m: int,
@@ -103,13 +108,14 @@ def _sinkhorn_kernel(
 
     jax.lax.fori_loop(0, iters, body, 0)
     f_ref[0, :, :] = fcol_ref[:, :]
+    g_out_ref[0, :, :] = g_ref[:, :]
 
 
 def _sinkhorn_stream_kernel(
     x_ref,  # (1, N, CPAD) in VMEM
     y_ref,  # (1, M, CPAD)
     f_ref,  # (1, N, 1) out f32 (column layout — see _sinkhorn_kernel)
-    g_out_ref,  # (1, M) out f32
+    g_out_ref,  # (1, 1, M) out f32 (3-D row layout — see _sinkhorn_kernel)
     fcol_ref,  # (N, 1) scratch f32
     g_ref,  # (1, M) scratch f32
     gmax_ref,  # (1, M) scratch f32 (streaming-LSE running max)
@@ -191,7 +197,7 @@ def _sinkhorn_stream_kernel(
 
     jax.lax.fori_loop(0, iters, body, 0)
     f_ref[0, :, :] = fcol_ref[:, :]
-    g_out_ref[:, :] = g_ref[:, :]
+    g_out_ref[0, :, :] = g_ref[:, :]
 
 
 @functools.partial(
@@ -229,11 +235,11 @@ def sinkhorn_potentials_stream(
         ],
         out_specs=[
             pl.BlockSpec((1, n, 1), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, m), lambda i: (i, 0)),
+            pl.BlockSpec((1, 1, m), lambda i: (i, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, n, 1), jnp.float32),
-            jax.ShapeDtypeStruct((b, m), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, m), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((n, 1), jnp.float32),
@@ -243,7 +249,7 @@ def sinkhorn_potentials_stream(
         ],
         interpret=interpret,
     )(xp, yp)
-    return f[:, :, 0], g
+    return f[:, :, 0], g[:, 0, :]
 
 
 @functools.partial(
@@ -282,16 +288,17 @@ def sinkhorn_potentials(
         ],
         out_specs=[
             pl.BlockSpec((1, n, 1), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, m), lambda i: (i, 0)),
+            pl.BlockSpec((1, 1, m), lambda i: (i, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, n, 1), jnp.float32),
-            jax.ShapeDtypeStruct((b, m), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, m), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((n, m), jnp.float32),
             pltpu.VMEM((n, 1), jnp.float32),
+            pltpu.VMEM((1, m), jnp.float32),
         ],
         interpret=interpret,
     )(xp, yp)
-    return f[:, :, 0], g
+    return f[:, :, 0], g[:, 0, :]
