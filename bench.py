@@ -9,8 +9,14 @@ algorithm on the CPU) with device<->host round-trips, per-sample metric
 calls — the exact structure of testnet.py:28-79 with its CUDA kernels
 replaced by ours (a favorable substitution for the baseline).
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+Output contract: a COMPACT headline JSON line (metric, value, vs_baseline,
+train/serving/sinkhorn scalars; < 500 bytes) is printed after EVERY
+completed section and once more at the end — the LAST stdout line is
+always a valid, current headline even if the run is truncated. The full
+detail blob is written to BENCH_DETAIL.json (repo root) after each
+section. ``--sections eval,train,serving,stages`` selects sections;
+``--budget_seconds`` (default env FENET_BENCH_BUDGET or 520) makes late
+optional sections skip rather than overrun the driver's kill timer.
 """
 
 from __future__ import annotations
@@ -403,7 +409,140 @@ def run_reference_structured(model, variables, batches, n_samples=48):
     return len(flat) / wall, wall
 
 
-def run_stage_bench(model, variables, batch=48, reps=10):
+def run_train_stage_bench(mesh, batch=128, reps=3):
+    """Train-step stage breakdown at the reference's settings (train.py:36-46,
+    loss.py:23): where the ~1 s step actually goes — model forward, chamfer,
+    the 3000-iter EMD auction, backward, optimizer/collectives.
+
+    Methodology: components are timed as separately jitted pieces on the
+    same post-warmup state (the auction's cost depends on how far the
+    predictions sit from the targets, so everything is measured at the same
+    step index); the full fused step is timed last and the derived rows
+    attribute its wall to components (fusion makes the sum of parts an
+    upper bound for the parts' share, not an identity).
+    Anchor: /root/reference/emd_cuda.cu:256-269 (the dominant auction loop).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from fenet.losses.facade import chamfer_loss, emd_loss
+    from fenet.models.generator import Generator
+    from fenet.parallel.mesh import shard_batch
+    from fenet.train.config import TrainConfig
+    from fenet.train.trainer import Trainer
+
+    rng = np.random.RandomState(0)
+    images = rng.rand(batch, 128, 128, 3).astype(np.float32) * 255
+    points = rng.rand(batch, 1024, 3).astype(np.float32) * 0.9
+
+    cfg = TrainConfig(batch_size=batch)
+    model = Generator(num_points=1024, backbone=cfg.backbone)
+    trainer = Trainer(model, cfg, mesh=mesh)
+    state = trainer.init_state(
+        jax.random.PRNGKey(0), np.zeros((1, 128, 128, 3), np.float32)
+    )
+    sharded = shard_batch({"image": images, "points": points}, mesh)
+    img_d, pts_d = sharded["image"], sharded["points"]
+
+    # Two warmup steps (step retraces once after step 1), forced fetch.
+    for _ in range(2):
+        state, stats = _retry(lambda: trainer.train_step(
+            state, img_d, pts_d, epoch=1, lr=cfg.lr))
+        float(stats["total_loss"])
+
+    @jax.jit
+    def fwd(params, batch_stats, images):
+        (_, _, pc3), _ = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            images.astype(jnp.float32), train=True,
+            mutable=["batch_stats"],
+        )
+        return pc3
+
+    @jax.jit
+    def cd_only(pred, gt):
+        return chamfer_loss(pred, gt)
+
+    @jax.jit
+    def emd_only(pred, gt):
+        return emd_loss(pred, gt, cfg.emd_eps, cfg.emd_iters,
+                        cfg.emd_scale_phases, cfg.emd_early_exit,
+                        cfg.emd_scale_thresh)
+
+    @jax.jit
+    def loss_and_grad(params, batch_stats, images, gt):
+        def loss_fn(p):
+            (_, _, pc3), _ = model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                images.astype(jnp.float32), train=True,
+                mutable=["batch_stats"],
+            )
+            cd = chamfer_loss(pc3, gt)
+            emd = emd_loss(pc3, gt, cfg.emd_eps, cfg.emd_iters,
+                           cfg.emd_scale_phases, cfg.emd_early_exit,
+                           cfg.emd_scale_thresh)
+            return cfg.lambda_cd * cd + cfg.lambda_emd * emd
+
+        return jax.value_and_grad(loss_fn)(params)
+
+    pred = _retry(lambda: fwd(state.params, state.batch_stats, img_d))
+    np.asarray(pred)
+
+    def timed(fn, *args, n=reps):
+        np.asarray(jax.tree_util.tree_leaves(fn(*args))[0])  # compile
+        t0 = time.time()
+        for _ in range(n):
+            out = fn(*args)
+        np.asarray(jax.tree_util.tree_leaves(out)[0])
+        return (time.time() - t0) / n
+
+    t_fwd = timed(fwd, state.params, state.batch_stats, img_d)
+    t_cd = timed(cd_only, pred, pts_d)
+    t_emd = timed(emd_only, pred, pts_d)
+    t_vg = timed(loss_and_grad, state.params, state.batch_stats, img_d,
+                 pts_d)
+
+    def one_step(s):
+        return trainer.train_step(s, img_d, pts_d, epoch=1, lr=cfg.lr)
+
+    np.asarray(one_step(state)[1]["total_loss"])
+    t0 = time.time()
+    for _ in range(reps):
+        _, stats = one_step(state)  # same state: constant auction cost
+    float(stats["total_loss"])
+    t_step = (time.time() - t0) / reps
+
+    ca = _cost_analysis(fwd, state.params, state.batch_stats, img_d) or {}
+    fwd_mfu = None
+    if ca.get("flops"):
+        fwd_mfu = round(
+            ca["flops"] / t_fwd / 1e12 / _PEAK_BF16_TFLOPS, 5
+        )
+    ms = lambda s: round(s / batch * 1000.0, 4)  # noqa: E731
+    return {
+        "batch": batch, "reps": reps,
+        "settings": "CD+EMD(eps=0.05,iters=3000,early_exit)+Adam",
+        "forward_ms_per_image": ms(t_fwd),
+        "forward_mfu": fwd_mfu,
+        "chamfer_ms_per_image": ms(t_cd),
+        "emd_auction_ms_per_image": ms(t_emd),
+        "loss_and_grad_ms_per_image": ms(t_vg),
+        "backward_ms_per_image_derived": ms(max(0.0, t_vg - t_fwd - t_cd
+                                                - t_emd)),
+        "full_step_ms_per_image": ms(t_step),
+        "optimizer_and_overhead_ms_per_image_derived": ms(
+            max(0.0, t_step - t_vg)
+        ),
+        "emd_share_of_step": round(min(1.0, t_emd / t_step), 4),
+        "note": (
+            "components jitted separately on the same post-warmup state; "
+            "derived rows subtract measured pieces from the fused wall "
+            "(fusion can make parts overlap)"
+        ),
+    }
+
+
+def run_stage_bench(model, variables, batch=48, reps=5):
     """Per-stage eval-cycle breakdown (the docs/DESIGN.md §1 numbers) with
     utilization accounting: ms/image plus achieved FLOP/s vs the MXU bf16
     peak (``mfu``) and achieved bytes/s vs the HBM peak (``bw_frac``).
@@ -556,6 +695,7 @@ def run_stage_bench(model, variables, batch=48, reps=10):
     total_t = t_fwd + t_icp + t_emd + t_cham
     return {
         "batch": batch,
+        "reps": reps,
         "peaks": {"bf16_tflops": _PEAK_BF16_TFLOPS,
                   "hbm_gbps": _PEAK_HBM_GBPS, "assumed": "v5e-class"},
         "forward": fwd_rec,
@@ -592,6 +732,19 @@ def main(argv=None):
     parser.add_argument("--no_probe", action="store_true",
                         help="skip the subprocess backend probe (saves "
                              "~15s when the chip is known-good)")
+    parser.add_argument("--sections", default="eval,train,serving,stages",
+                        help="comma list of sections to run (subset of "
+                             "eval,train,serving,stages). eval carries the "
+                             "headline metric; the others enrich it and "
+                             "are skipped when the budget runs short")
+    parser.add_argument("--budget_seconds", type=float, default=float(
+        os.environ.get("FENET_BENCH_BUDGET", "520")),
+        help="soft wall-clock budget: optional sections are skipped when "
+             "the elapsed time leaves no room for them (the driver kills "
+             "the run at ~10 min; a partial record beats a lost one)")
+    parser.add_argument("--detail_file", default=os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+        help="full detail blob destination (the stdout line stays compact)")
     opt = parser.parse_args(argv)
 
     # Error/outage records carry the metric name the run was FOR, so a
@@ -625,6 +778,54 @@ def main(argv=None):
         raise
 
 
+def _round_or_pass(v, nd=3):
+    return round(v, nd) if isinstance(v, float) else v
+
+
+class _Record:
+    """Incremental bench record: the full detail blob goes to a repo file
+    after every section; stdout gets a COMPACT (<500 byte) headline line
+    after every section, final one last — so however the run ends (timeout,
+    backend flap, driver tail-truncation), the last stdout line is a valid
+    parseable headline and the detail file holds everything measured so
+    far. Round-3 lesson: one giant JSON line printed once at the very end
+    lost the whole round record to output truncation (BENCH_r03 parsed:
+    null)."""
+
+    def __init__(self, detail_file, sections):
+        self.detail_file = detail_file
+        self.planned = sections
+        self.done = []
+        self.value = None
+        self.vs_baseline = None
+        self.scalars = {}  # compact extras
+        self.detail = {}
+        self.t0 = time.time()
+
+    def emit(self, partial=True):
+        full = {
+            "metric": "shapenet_13cat_eval_throughput",
+            "value": self.value,
+            "unit": "images/sec/chip",
+            "vs_baseline": self.vs_baseline,
+            "sections_done": list(self.done),
+            "sections_planned": list(self.planned),
+            "partial": partial,
+            "elapsed_seconds": round(time.time() - self.t0, 1),
+            **self.scalars,
+            "detail": self.detail,
+        }
+        try:
+            with open(self.detail_file, "w") as f:
+                json.dump(full, f, indent=1, sort_keys=True)
+                f.write("\n")
+        except OSError:
+            pass  # read-only checkout: the stdout line still carries the gist
+        compact = {k: v for k, v in full.items() if k != "detail"}
+        compact["detail_file"] = os.path.basename(self.detail_file)
+        print(json.dumps(compact), flush=True)
+
+
 def _run(opt):
     from fenet.utils.compilation_cache import enable
 
@@ -638,18 +839,127 @@ def _run(opt):
              "detail": run_stage_bench(model, variables)}
         ))
         return
-    batches = _synthetic_eval_batches()
+
+    sections = [s.strip() for s in opt.sections.split(",") if s.strip()]
+    rec = _Record(opt.detail_file, sections)
     mesh = make_mesh(1)
 
-    throughput, wall, cd, compute_tput = run_batched(
-        model, variables, batches, mesh
-    )
-    ref_throughput, ref_wall = run_reference_structured(
-        model, variables, batches
-    )
-    train_ips, train_sps, train_base_ips, train_sk_ips = run_train_bench(
-        mesh
-    )
+    def over_budget(reserve):
+        return time.time() - rec.t0 > opt.budget_seconds - reserve
+
+    # ---- eval: the headline metric ------------------------------------
+    if "eval" in sections:
+        batches = _synthetic_eval_batches()
+        throughput, wall, cd, compute_tput = run_batched(
+            model, variables, batches, mesh
+        )
+        ref_throughput, ref_wall = run_reference_structured(
+            model, variables, batches
+        )
+        rec.value = round(throughput, 3)
+        rec.vs_baseline = round(throughput / ref_throughput, 3)
+        rec.scalars["compute_only_ips"] = round(compute_tput, 3)
+        rec.detail["eval"] = {
+            "samples": sum(b[0].shape[0] for b in batches),
+            "wall_seconds": round(wall, 3),
+            "baseline_images_per_sec": round(ref_throughput, 3),
+            "baseline_samples": 48,
+            "baseline_note": (
+                "reference-STRUCTURED same-chip proxy (synthetic data, "
+                "batch=1, per-sample host ICP + device round-trips, "
+                "testnet.py:28-79 structure with its CUDA kernels replaced "
+                "by ours — a substitution favorable to the baseline); not "
+                "a GPU measurement"
+            ),
+            "pipeline": (
+                "RepVGG-A2 fwd + ICP(1024,1e-10) + CD + EMD(0.005,50)"
+            ),
+            "compute_only_images_per_sec": round(compute_tput, 3),
+            "compute_only_note": (
+                "inputs pre-staged in HBM; isolates chip compute from this "
+                "host's slow host->device link (the end-to-end number is "
+                "transfer-bound here)"
+            ),
+        }
+        rec.done.append("eval")
+        rec.emit()
+
+    # ---- train ---------------------------------------------------------
+    if "train" in sections:
+        if over_budget(150):
+            rec.detail["train"] = {"skipped": "budget"}
+        else:
+            try:
+                (train_ips, train_sps, train_base_ips,
+                 train_sk_ips) = run_train_bench(mesh)
+                rec.scalars["train_ips"] = round(train_ips, 3)
+                rec.scalars["train_vs_base"] = round(
+                    train_ips / train_base_ips, 3
+                )
+                rec.scalars["sinkhorn_ips"] = _round_or_pass(train_sk_ips)
+                rec.detail["train"] = {
+                    "images_per_sec_chip": round(train_ips, 3),
+                    "steps_per_sec": round(train_sps, 4),
+                    "batch": 128,
+                    "settings": (
+                        "CD+EMD(eps=0.05,iters=3000)+Adam, train.py:36-46"
+                    ),
+                    "baseline_images_per_sec": round(train_base_ips, 3),
+                    "vs_baseline": round(train_ips / train_base_ips, 3),
+                    "baseline_note": (
+                        "same jitted step with auction early-exit disabled "
+                        "(reference always runs all 3000 iterations, "
+                        "emd_cuda.cu:256); same-chip proxy"
+                    ),
+                    "sinkhorn_images_per_sec": _round_or_pass(train_sk_ips),
+                    "sinkhorn_note": (
+                        "opt-in --emd_impl sinkhorn (annealed entropic OT, "
+                        "VMEM-resident Pallas potentials loop, blur=0.01 x "
+                        "300 iters); same step otherwise"
+                    ),
+                }
+            except Exception as e:  # pragma: no cover - backend-dependent
+                rec.detail["train"] = {"error": str(e)[-300:]}
+        rec.done.append("train")
+        rec.emit()
+
+    # ---- serving ---------------------------------------------------------
+    if "serving" in sections:
+        if over_budget(110):
+            rec.detail["serving"] = {"skipped": "budget"}
+        else:
+            try:
+                rec.detail["serving"] = _serving_section(
+                    model, variables, mesh, rec
+                )
+            except Exception as e:  # pragma: no cover - backend-dependent
+                rec.detail["serving"] = {"error": str(e)[-300:]}
+        rec.done.append("serving")
+        rec.emit()
+
+    # ---- stage/MFU breakdowns --------------------------------------------
+    if "stages" in sections:
+        if over_budget(120):
+            rec.detail["stages"] = {"skipped": "budget"}
+        else:
+            try:
+                rec.detail["stages"] = run_stage_bench(model, variables)
+            except Exception as e:  # pragma: no cover - backend-dependent
+                rec.detail["stages"] = {"error": str(e)[-300:]}
+            if over_budget(90):
+                rec.detail["train_stages"] = {"skipped": "budget"}
+            else:
+                try:
+                    rec.detail["train_stages"] = run_train_stage_bench(mesh)
+                except Exception as e:  # pragma: no cover
+                    rec.detail["train_stages"] = {"error": str(e)[-300:]}
+        rec.done.append("stages")
+        rec.emit()
+
+    rec.emit(partial=False)
+
+
+def _serving_section(model, variables, mesh, rec):
     import jax.numpy as jnp
 
     from fenet.models.generator import to_deploy
@@ -662,17 +972,12 @@ def _run(opt):
                 model, variables, mesh, batch=b, deployed=deployed
             )
         except Exception as e:  # pragma: no cover - depends on backend
-            # Keep whatever batches DID measure; b=256 ran on-chip in
-            # round 2, the larger shapes are first-compiled here.
             serving_sweep[b] = f"error: {str(e)[-200:]}"
     measured = {b: v for b, v in serving_sweep.items()
                 if isinstance(v, float)}
     serving_batch = (max(measured, key=measured.get) if measured
                      else 256)
     serving_ips = measured.get(serving_batch)
-    # bf16 serving export at the fp32-best batch (one extra fold+compile).
-    # Fault-isolated like the sinkhorn section: optional measurements must
-    # not cost the headline capture on an unexpected backend failure.
     try:
         serving_bf16_ips = run_inference_bench(
             model, variables, mesh, batch=serving_batch, dtype=jnp.bfloat16
@@ -684,97 +989,35 @@ def _run(opt):
                                               deployed=deployed)
     except Exception as e:  # pragma: no cover - depends on backend
         serving_latency = {"error": str(e)[-200:]}
-    # Stage/MFU breakdown in the DRIVER-CAPTURED record too (round-2 gap:
-    # --stages existed but the driver only runs the bare command, so the
-    # utilization evidence never landed in BENCH_r*.json). Fault-isolated:
-    # the headline must survive a stage-bench failure.
-    try:
-        stages = run_stage_bench(model, variables, reps=5)
-    except Exception as e:  # pragma: no cover - depends on backend
-        stages = {"error": str(e)[-200:]}
-    result = {
-        "metric": "shapenet_13cat_eval_throughput",
-        "value": round(throughput, 3),
-        "unit": "images/sec/chip",
-        "vs_baseline": round(throughput / ref_throughput, 3),
-        "detail": {
-            "samples": sum(b[0].shape[0] for b in batches),
-            "wall_seconds": round(wall, 3),
-            "baseline_images_per_sec": round(ref_throughput, 3),
-            "baseline_samples": 48,
-            "baseline_note": (
-                "reference-STRUCTURED same-chip proxy (synthetic data, "
-                "batch=1, per-sample host ICP + device round-trips, "
-                "testnet.py:28-79 structure with its CUDA kernels replaced "
-                "by ours — a substitution favorable to the baseline); not "
-                "a GPU measurement"
-            ),
-            "pipeline": "RepVGG-A2 fwd + ICP(1024,1e-10) + CD + EMD(0.005,50)",
-            "stages": stages,
-            "compute_only_images_per_sec": round(compute_tput, 3),
-            "compute_only_note": (
-                "inputs pre-staged in HBM; isolates chip compute from this "
-                "host's slow host->device link (the end-to-end number is "
-                "transfer-bound here)"
-            ),
-            "serving": {
-                "images_per_sec_chip": (
-                    round(serving_ips, 3) if serving_ips is not None
-                    else None
-                ),
-                "batch": serving_batch,
-                "sweep": {
-                    str(b): (round(v, 3) if isinstance(v, float) else v)
-                    for b, v in serving_sweep.items()
-                },
-                "bf16_images_per_sec_chip": (
-                    round(serving_bf16_ips, 3)
-                    if isinstance(serving_bf16_ips, float)
-                    else serving_bf16_ips
-                ),
-                "bf16_note": (
-                    "export_deploy --dtype bfloat16 path at the same "
-                    "batch: folded params cast to bf16, forward at the "
-                    "MXU native rate (~1e-2 relative coordinate error, "
-                    "tests/test_extras.py)"
-                ),
-                "latency": serving_latency,
-                "latency_note": (
-                    "single request (batch=1), per-call drain; the "
-                    "latency-floor counterpart of the throughput numbers"
-                ),
-                "note": (
-                    "deploy-folded forward only (image -> 1024-pt cloud), "
-                    "inputs staged in HBM; the --deploy CLI path; "
-                    "images_per_sec_chip = best batch of the sweep"
-                ),
-            },
-            "train": {
-                "images_per_sec_chip": round(train_ips, 3),
-                "steps_per_sec": round(train_sps, 4),
-                "batch": 128,
-                "settings": "CD+EMD(eps=0.05,iters=3000)+Adam, train.py:36-46",
-                "baseline_images_per_sec": round(train_base_ips, 3),
-                "vs_baseline": round(train_ips / train_base_ips, 3),
-                "baseline_note": (
-                    "same jitted step with auction early-exit disabled "
-                    "(reference always runs all 3000 iterations, "
-                    "emd_cuda.cu:256); same-chip proxy"
-                ),
-                "sinkhorn_images_per_sec": (
-                    round(train_sk_ips, 3)
-                    if isinstance(train_sk_ips, float)
-                    else train_sk_ips
-                ),
-                "sinkhorn_note": (
-                    "opt-in --emd_impl sinkhorn (annealed entropic OT, "
-                    "VMEM-resident Pallas potentials loop, blur=0.01 x "
-                    "300 iters); same step otherwise"
-                ),
-            },
+    if serving_ips is not None:
+        rec.scalars["serving_ips"] = round(serving_ips, 3)
+    rec.scalars["serving_bf16_ips"] = _round_or_pass(serving_bf16_ips)
+    return {
+        "images_per_sec_chip": (
+            round(serving_ips, 3) if serving_ips is not None else None
+        ),
+        "batch": serving_batch,
+        "sweep": {
+            str(b): _round_or_pass(v) for b, v in serving_sweep.items()
         },
+        "bf16_images_per_sec_chip": _round_or_pass(serving_bf16_ips),
+        "bf16_note": (
+            "export_deploy --dtype bfloat16 path at the same "
+            "batch: folded params cast to bf16, forward at the "
+            "MXU native rate (~1e-2 relative coordinate error, "
+            "tests/test_extras.py)"
+        ),
+        "latency": serving_latency,
+        "latency_note": (
+            "single request (batch=1), per-call drain; the "
+            "latency-floor counterpart of the throughput numbers"
+        ),
+        "note": (
+            "deploy-folded forward only (image -> 1024-pt cloud), "
+            "inputs staged in HBM; the --deploy CLI path; "
+            "images_per_sec_chip = best batch of the sweep"
+        ),
     }
-    print(json.dumps(result))
 
 
 if __name__ == "__main__":

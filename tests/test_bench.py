@@ -36,3 +36,49 @@ def test_synthetic_eval_batches_layout():
     assert batches[1][0].shape[0] == 2  # 10 = 8 + 2
     # clouds live in [0, 0.9): the EMD contract wants [0,1]-normalized input
     assert 0.0 <= pts.min() and pts.max() < 0.9
+
+
+def test_record_compact_line_under_500_bytes(tmp_path, capsys):
+    """The driver keeps only a stdout tail; every emitted headline line must
+    be small, parseable, and self-contained (round-3 lesson: BENCH_r03
+    parsed: null because one giant line was truncated)."""
+    import json
+
+    bench = pytest.importorskip("bench")
+    rec = bench._Record(str(tmp_path / "detail.json"),
+                        ["eval", "train", "serving", "stages"])
+    rec.value = 356.123
+    rec.vs_baseline = 123.456
+    rec.scalars.update(
+        compute_only_ips=477.0, train_ips=132.5, train_vs_base=1.473,
+        sinkhorn_ips=1234.5, serving_ips=21123.4, serving_bf16_ips=27719.9,
+    )
+    rec.detail["eval"] = {"huge": "x" * 10000}  # goes to the file only
+    rec.done = ["eval", "train", "serving", "stages"]
+    rec.emit(partial=False)
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    assert len(out.encode()) < 500, len(out.encode())
+    parsed = json.loads(out)
+    assert parsed["value"] == 356.123
+    assert parsed["vs_baseline"] == 123.456
+    assert parsed["partial"] is False
+    assert "detail" not in parsed
+    full = json.loads((tmp_path / "detail.json").read_text())
+    assert full["detail"]["eval"]["huge"].startswith("x")
+
+
+def test_record_partial_emission_sequence(tmp_path, capsys):
+    """A run killed mid-way leaves the last line as a valid partial record."""
+    import json
+
+    bench = pytest.importorskip("bench")
+    rec = bench._Record(str(tmp_path / "d.json"), ["eval", "train"])
+    rec.value = 300.0
+    rec.vs_baseline = 100.0
+    rec.done.append("eval")
+    rec.emit()  # partial
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    parsed = json.loads(out)
+    assert parsed["partial"] is True
+    assert parsed["sections_done"] == ["eval"]
+    assert parsed["value"] == 300.0
