@@ -205,6 +205,117 @@ def test_train_steps_match_torch_reference_loop(tmp_path):
     np.testing.assert_allclose(j_fc3_1, t_fc3_1, rtol=5e-2, atol=5e-4)
 
 
+def test_finetune_steps_match_torch_reference_loop(tmp_path):
+    """K finetune steps (loss_mode='finetune'): fenet Trainer vs the torch
+    reference loop with the projection loss made differentiable the same
+    way (torch_ref_finetune_loop.py) — per-step bce/CD/EMD losses and the
+    final parameters must track. Mirrors
+    test_train_steps_match_torch_reference_loop for finetune.py:141-182."""
+    import json
+    import subprocess
+
+    torch.manual_seed(0)
+    n, b, steps, fw, mw = 256, 2, 3, 32, 16
+    emd_eps, emd_iters = 0.05, 300
+    grid_h = grid_w = 64
+    sigma_sq = 2.0
+    bb_cfg = REPVGG_CONFIGS["RepVGG-TEST"]
+
+    tgen = _TorchGenerator(bb_cfg, num_points=n, fine_width=fw, mid_width=mw)
+    state_dict = {k: v.detach().numpy().copy()
+                  for k, v in tgen.state_dict().items()}
+    variables = torch_state_dict_to_variables(tgen.state_dict())
+    del tgen
+
+    gen = Generator(num_points=n, backbone="RepVGG-TEST", fine_width=fw,
+                    mid_width=mw)
+    init_vars = gen.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)), train=False
+    )
+    merged = {
+        "params": merge_variables(init_vars["params"], variables["params"]),
+        "batch_stats": merge_variables(
+            init_vars["batch_stats"], variables["batch_stats"]
+        ),
+    }
+    cfg = TrainConfig(
+        batch_size=b, num_points=n, emd_eps=emd_eps, emd_iters=emd_iters,
+        backbone="RepVGG-TEST", fine_width=fw, mid_width=mw,
+        data_parallel=1, grid_h=grid_h, grid_w=grid_w, sigma_sq=sigma_sq,
+    )
+    trainer = Trainer(gen, cfg, loss_mode="finetune")
+    state = trainer.state_from_variables(merged)
+
+    @jax.jit
+    def fwd(params, batch_stats, img):
+        (_, _, pc3), _ = gen.apply(
+            {"params": params, "batch_stats": batch_stats}, img,
+            train=True, mutable=["batch_stats"],
+        )
+        return pc3
+
+    rng = np.random.RandomState(1)
+    lr = 5e-5  # finetune.py's LR (finetune.py:111-113 semantics)
+    imgs, ptss, assignments, fenet_hist = [], [], [], []
+    for step in range(steps):
+        img = (rng.rand(b, 128, 128, 3) * 255).astype(np.float32)
+        pts = (rng.rand(b, n, 3) * 0.9).astype(np.float32)
+        pc3 = fwd(state.params, state.batch_stats, jnp.asarray(img))
+        _, ass = earth_mover_distance(pc3, jnp.asarray(pts), emd_eps,
+                                      emd_iters)
+        imgs.append(img)
+        ptss.append(pts)
+        assignments.append(np.asarray(ass).copy())
+        state, stats = trainer.train_step(
+            state, jnp.asarray(img), jnp.asarray(pts), epoch=1, lr=lr
+        )
+        fenet_hist.append(
+            (float(stats["total_loss"]), float(stats["chamfer_loss"]),
+             float(stats["emd_loss"]))
+        )
+
+    in_npz = str(tmp_path / "ft_in.npz")
+    out_json = str(tmp_path / "ft_out.json")
+    np.savez(
+        in_npz,
+        imgs=np.stack(imgs), pts=np.stack(ptss),
+        assignments=np.stack(assignments),
+        num_points=n, fine_width=fw, mid_width=mw, lr=lr,
+        grid_h=grid_h, grid_w=grid_w, sigma_sq=sigma_sq,
+        num_blocks=np.asarray(bb_cfg.num_blocks),
+        width_multiplier=np.asarray(bb_cfg.width_multiplier),
+        **{f"sd.{k}": v for k, v in state_dict.items()},
+    )
+    here = os.path.dirname(os.path.abspath(__file__))
+    subprocess.run(
+        [sys.executable, os.path.join(here, "torch_ref_finetune_loop.py"),
+         in_npz, out_json],
+        check=True, cwd=here, timeout=600,
+    )
+    with open(out_json) as f:
+        torch_hist = json.load(f)
+
+    for step, ((j_tot, j_cd, j_emd), t) in enumerate(
+        zip(fenet_hist, torch_hist)
+    ):
+        tol = 5e-3 * (step + 1)  # fp32 accumulation compounds per step
+        np.testing.assert_allclose(
+            j_cd, t["cd"], rtol=tol, err_msg=f"CD diverged at step {step}"
+        )
+        np.testing.assert_allclose(
+            j_emd, t["emd"], rtol=tol,
+            err_msg=f"EMD diverged at step {step}",
+        )
+        np.testing.assert_allclose(
+            j_tot, t["total"], rtol=tol,
+            err_msg=f"total (incl. bce) diverged at step {step}",
+        )
+
+    j_fc3_1 = np.asarray(state.params["decoder"]["fc3_1"]["kernel"])
+    t_fc3_1 = np.load(out_json + ".fc3_1.npy")
+    np.testing.assert_allclose(j_fc3_1, t_fc3_1, rtol=5e-2, atol=5e-4)
+
+
 def test_adaptive_scaling_training_equivalence():
     """PARITY.md #10's end-to-end evidence: a short training run under
     adaptive epsilon-scaling (--emd_scale_phases 3, thresh 0.3) reaches
