@@ -38,6 +38,12 @@ def main(argv=None):
     parser.add_argument("--out_dir", type=str, default="./heatmaps/")
     parser.add_argument("--n_samples", type=int, default=4)
     parser.add_argument("--alpha", type=float, default=0.4)
+    parser.add_argument("--layer", type=str, default=None,
+                        help="backbone layer for the CAM: a block name "
+                             "('stage2_3'), a stage prefix ('stage2' = "
+                             "that stage's last block), or omitted for "
+                             "the final feature map (the draw_CAM "
+                             "chosen-module semantics, heatmap.py:43-80)")
     opt = parser.parse_args(argv)
 
     gen = Generator(num_points=opt.num_points, backbone=opt.backbone,
@@ -60,9 +66,12 @@ def main(argv=None):
     for i, batch in enumerate(loader):
         if i >= opt.n_samples:
             break
-        path = os.path.join(opt.out_dir, f"{opt.category}_{i:03d}_cam.png")
+        suffix = f"_{opt.layer}" if opt.layer else ""
+        path = os.path.join(
+            opt.out_dir, f"{opt.category}_{i:03d}_cam{suffix}.png"
+        )
         save_cam_overlay(gen, variables, batch["image"], path,
-                         alpha=opt.alpha)
+                         alpha=opt.alpha, layer=opt.layer)
     n = min(opt.n_samples, len(ds))
     print(f"wrote {n} CAM overlays to {opt.out_dir}")
 

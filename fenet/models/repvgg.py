@@ -205,6 +205,48 @@ class RepVGG(nn.Module):
             self.sow("intermediates", f"{block.name}_out", x)
         return x
 
+    def block_names(self):
+        """Ordered block names — the valid Grad-CAM ``layer`` targets
+        (draw_CAM's user-chosen module, models/heatmap.py:43-80)."""
+        return [name for name, _, _, _ in self._stage_plan()]
+
+    def resolve_block(self, layer: str) -> str:
+        """Resolve a layer spec to a block name: an exact block name, or a
+        stage prefix ('stage2') meaning that stage's LAST block."""
+        names = self.block_names()
+        if layer in names:
+            return layer
+        in_stage = [n for n in names if n.startswith(layer + "_")]
+        if in_stage:
+            return in_stage[-1]
+        raise ValueError(
+            f"unknown layer {layer!r}; valid: {names} or a stage prefix"
+        )
+
+    def features_up_to(self, x: jnp.ndarray, layer: str,
+                       train: bool = False) -> jnp.ndarray:
+        """Conv stages through block ``layer`` inclusive — the feature map
+        Grad-CAM differentiates against."""
+        layer = self.resolve_block(layer)
+        for block in self.blocks:
+            x = block(x, train=train)
+            if block.name == layer:
+                return x
+        raise AssertionError(layer)  # unreachable after resolve_block
+
+    def features_from(self, x: jnp.ndarray, layer: str,
+                      train: bool = False) -> jnp.ndarray:
+        """Remaining conv stages AFTER block ``layer`` -> final feature map
+        (the decode-path re-entry point for a mid-network CAM)."""
+        layer = self.resolve_block(layer)
+        seen = False
+        for block in self.blocks:
+            if seen:
+                x = block(x, train=train)
+            if block.name == layer:
+                seen = True
+        return x
+
     def head(self, feature_map: jnp.ndarray) -> jnp.ndarray:
         """GAP + classifier (…_cmlp.py:183, AdaptiveAvgPool(1) + Linear)."""
         return self.linear(jnp.mean(feature_map, axis=(1, 2)))

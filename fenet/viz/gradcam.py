@@ -21,22 +21,41 @@ def grad_cam(
     image: np.ndarray,
     target_fn=None,
     upsample_to: Optional[int] = 128,
+    layer: Optional[str] = None,
 ) -> np.ndarray:
     """Compute a (H, W) heatmap for one image (1, 128, 128, 3).
 
     ``target_fn(pc3) -> scalar`` defaults to the output L2 norm, the torch
     driver's choice of scalar target (heatmap.py:73-80).
+
+    ``layer`` picks the backbone feature map to differentiate against —
+    the torch ``draw_CAM``'s user-chosen module (heatmap.py:43-80): a block
+    name ('stage2_3'), a stage prefix ('stage2' = that stage's last block),
+    or None for the final feature map. The decode path re-enters from the
+    remaining blocks so the CAM weights are exact, not approximated.
     """
     if target_fn is None:
         target_fn = lambda pc3: jnp.sqrt(jnp.sum(pc3**2))
 
     image = jnp.asarray(image, jnp.float32)
     bound = model.bind(variables)
-    feature_map = bound.backbone_net.forward_features(image, train=False)
+    if layer is None:
+        feature_map = bound.backbone_net.forward_features(image, train=False)
 
-    def from_features(fmap):
-        _, _, pc3 = bound.decode(fmap, image, train=False)
-        return target_fn(pc3)
+        def from_features(fmap):
+            _, _, pc3 = bound.decode(fmap, image, train=False)
+            return target_fn(pc3)
+
+    else:
+        feature_map = bound.backbone_net.features_up_to(
+            image, layer, train=False
+        )
+
+        def from_features(fmap):
+            final = bound.backbone_net.features_from(fmap, layer,
+                                                     train=False)
+            _, _, pc3 = bound.decode(final, image, train=False)
+            return target_fn(pc3)
 
     grads = jax.grad(from_features)(feature_map)  # (1, h, w, c)
     weights = jnp.mean(grads, axis=(1, 2), keepdims=True)  # GAP of grads
@@ -72,19 +91,21 @@ def save_cam_overlay(
     path: str,
     alpha: float = 0.4,
     target_fn=None,
+    layer: Optional[str] = None,
 ) -> np.ndarray:
     """Compute the CAM, blend it onto the input image and write a PNG —
     the draw_CAM save path (heatmap.py:43-126, overlay at :110-121).
 
     ``image`` is (1, H, W, 3) or (H, W, 3) float32 in 0..255 (the raw
     dataset convention). Returns the blended uint8 RGB array.
+    ``layer`` as in :func:`grad_cam`.
     """
     import cv2
 
     img = np.asarray(image, np.float32)
     batched = img[None] if img.ndim == 3 else img
     cam = grad_cam(model, variables, batched, target_fn=target_fn,
-                   upsample_to=batched.shape[1])
+                   upsample_to=batched.shape[1], layer=layer)
     blended = overlay_heatmap(batched[0], cam, alpha=alpha)
     cv2.imwrite(path, cv2.cvtColor(blended, cv2.COLOR_RGB2BGR))
     return blended

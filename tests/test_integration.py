@@ -193,6 +193,22 @@ def test_heatmap_cli(workdir, trained):
     png = os.path.join(out_dir, f"{CAT}_000_cam.png")
     assert os.path.exists(png) and os.path.getsize(png) > 0
 
+    # --layer routes the CAM to a chosen backbone block (suffixed output).
+    main([
+        "--category", CAT,
+        "--model", os.path.join(workdir, "output", "%s", "checkpoints") + "/",
+        "--splits_path", os.path.join(workdir, "splits"),
+        "--data_dir_imgs", os.path.join(workdir, "ShapeNetRendering") + "/",
+        "--data_dir_pcl", os.path.join(workdir, "ShapeNet_pointclouds") + "/",
+        "--backbone", "RepVGG-TEST",
+        "--fine_width", "32", "--mid_width", "16",
+        "--out_dir", out_dir,
+        "--n_samples", "1",
+        "--layer", "stage2",
+    ])
+    png2 = os.path.join(out_dir, f"{CAT}_000_cam_stage2.png")
+    assert os.path.exists(png2) and os.path.getsize(png2) > 0
+
 
 def test_record_goldens_cli(workdir, trained):
     """Golden-recorder smoke: records the trained category, gracefully
@@ -247,3 +263,22 @@ def test_gradcam_on_generator(trained):
     cam = grad_cam(gen, variables, img)
     assert cam.shape == (128, 128)
     assert np.isfinite(cam).all() and cam.max() <= 1.0 + 1e-6
+
+    # Chosen-layer CAMs (draw_CAM's user-chosen module, heatmap.py:43-80):
+    # stage prefix, exact block name, and final all agree in output shape.
+    cams = {}
+    for layer in ("stage2", "stage3_0", None):
+        c = grad_cam(gen, variables, img, layer=layer)
+        assert c.shape == (128, 128), (layer, c.shape)
+        assert np.isfinite(c).all() and c.max() <= 1.0 + 1e-6
+        cams[layer] = c
+    # An explicit final-block layer reproduces the default path exactly.
+    names = gen.bind(variables).backbone_net.block_names()
+    np.testing.assert_allclose(
+        grad_cam(gen, variables, img, layer=names[-1]), cam, atol=1e-6
+    )
+    # Mid-layer CAM genuinely differs from the final one (different fmap).
+    assert np.abs(cams["stage2"] - cam).max() > 1e-4
+
+    with pytest.raises(ValueError):
+        grad_cam(gen, variables, img, layer="nope")
