@@ -58,6 +58,16 @@ def main(argv=None):
                              "to --icp_patience: 1e-6 normally, 0 (OFF, "
                              "strict reference full-budget semantics) when "
                              "patience is 0 — as in record_goldens")
+    parser.add_argument("--icp_coarse_points", type=int, default=0,
+                        help="coarse-to-fine ICP warm start: phase-1 ICP on "
+                             "this many stride-subsampled points, then "
+                             "full-res refine to the same thresholds. OFF "
+                             "(0) by default: measured on v5e eval batches "
+                             "only 1.09x (the batch-synchronized loop is "
+                             "paced by its hardest element) at ~1e-2 "
+                             "metric shift on ill-posed alignments; exact "
+                             "to 2e-4 on well-posed ones "
+                             "(tests/test_geometry.py)")
     parser.add_argument("--emd_iters", type=int, default=50)
     parser.add_argument("--deploy", action="store_true",
                         help="fold BN + RepVGG branches before eval "
@@ -97,6 +107,7 @@ def main(argv=None):
             eval_gen, variables, loader, category=cat, logger=logger,
             icp_iterations=opt.icp_iters, icp_patience=opt.icp_patience,
             icp_rel_tolerance=opt.icp_rel_tolerance,
+            icp_coarse_points=opt.icp_coarse_points,
             emd_iters=opt.emd_iters,
         )
         results[cat] = summary

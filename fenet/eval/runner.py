@@ -57,6 +57,8 @@ def make_eval_step(
     icp_tolerance: float = 1e-10,
     icp_rel_tolerance: float = 1e-6,
     icp_patience: int = 32,
+    icp_coarse_points: int = 0,
+    icp_coarse_iterations: int = 512,
     emd_eps: float = EVAL_EMD_EPS,
     emd_iters: int = EVAL_EMD_ITERS,
     align: bool = True,
@@ -69,7 +71,8 @@ def make_eval_step(
     mesh = mesh or make_mesh()
     try:  # flax Modules are frozen dataclasses -> hashable for typical configs
         key = (model, mesh, icp_iterations, icp_tolerance,
-               icp_rel_tolerance, icp_patience, emd_eps, emd_iters, align)
+               icp_rel_tolerance, icp_patience, icp_coarse_points,
+               icp_coarse_iterations, emd_eps, emd_iters, align)
         cached = _EVAL_STEP_CACHE.get(key)
     except TypeError:
         key, cached = None, None
@@ -86,6 +89,8 @@ def make_eval_step(
                 pred, points, max_iterations=icp_iterations,
                 tolerance=icp_tolerance, rel_tolerance=icp_rel_tolerance,
                 stall_patience=icp_patience,
+                coarse_points=icp_coarse_points,
+                coarse_iterations=icp_coarse_iterations,
             )
         else:
             aligned = pred

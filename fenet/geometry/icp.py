@@ -190,41 +190,18 @@ def _nn_batched(src: jnp.ndarray, dst: jnp.ndarray):
     return jnp.sqrt(jnp.min(d, axis=-1)), jnp.argmin(d, axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("max_iterations", "stall_patience"))
-def batched_icp(
+def _icp_loop(
     a: jnp.ndarray,
     b: jnp.ndarray,
-    max_iterations: int = 1024,
-    tolerance: float = 1e-10,
-    rel_tolerance: float = 1e-6,
-    stall_patience: int = 32,
+    src0: jnp.ndarray,
+    max_iterations: int,
+    tolerance: float,
+    rel_tolerance: float,
+    stall_patience: int,
 ) -> jnp.ndarray:
-    """Natively-batched ICP over (B, N, 3) pairs; returns (B, 4, 4).
-
-    Same convergence semantics as :func:`icp` per element (elements that
-    converge are frozen; the loop exits when all have). Defaults are the eval
-    driver's settings (testnet.py:63).
-
-    ``rel_tolerance``: fp32 plateau detection. The reference's 1e-10 absolute
-    tolerance works on fp64 host ICP, where the error change hits an exact
-    plateau after a few dozen iterations; in fp32 the change bottoms out at
-    ~1e-7*err of rounding noise and the absolute test never fires, burning
-    the full iteration budget on a converged solution. An element is
-    therefore also done when |Δerr| < rel_tolerance * err — the same
-    "error stopped changing" semantics at fp32 precision. Set it to 0 to
-    force the literal absolute test.
-
-    ``stall_patience``: stop an element whose error hasn't dropped by more
-    than the plateau threshold, cumulatively, over this many consecutive
-    iterations (sub-threshold but steady progress keeps re-arming the
-    window; rounding-noise drift at the floor does not).
-    Plateau/period-2 tests catch clean convergence and clean oscillation,
-    but an element wandering a flat error landscape (period-3+, or drift at
-    the noise floor) defeats both and burns the whole budget — measured:
-    the eval batch runs all 1024 iterations without this, ~70 with it,
-    while returned transforms stay at the best-so-far state either way
-    (``best_src`` tracking makes stopping lossless).  0 disables.
-    """
+    """One ICP phase: iterate src0 toward b, return the best-so-far source
+    positions (same array as ``a`` transformed — the caller re-fits a
+    rigid transform from ``a`` to the result)."""
     bsz = a.shape[0]
 
     def cond(state):
@@ -286,18 +263,90 @@ def batched_icp(
         cond,
         body,
         {
-            "src": a,
+            "src": src0,
             "err1": jnp.zeros((bsz,), jnp.float32),
             "err2": jnp.full((bsz,), -1.0, jnp.float32),
             "it": jnp.int32(0),
             "done": jnp.zeros((bsz,), bool),
             "best_err": jnp.full((bsz,), jnp.inf, jnp.float32),
-            "best_src": a,
+            "best_src": src0,
             "stall": jnp.zeros((bsz,), jnp.int32),
             "stall_ref": jnp.full((bsz,), jnp.inf, jnp.float32),
         },
     )
-    src = state["best_src"]
+    return state["best_src"]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_iterations", "stall_patience", "coarse_points",
+                     "coarse_iterations"),
+)
+def batched_icp(
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    max_iterations: int = 1024,
+    tolerance: float = 1e-10,
+    rel_tolerance: float = 1e-6,
+    stall_patience: int = 32,
+    coarse_points: int = 0,
+    coarse_iterations: int = 512,
+) -> jnp.ndarray:
+    """Natively-batched ICP over (B, N, 3) pairs; returns (B, 4, 4).
+
+    Same convergence semantics as :func:`icp` per element (elements that
+    converge are frozen; the loop exits when all have). Defaults are the eval
+    driver's settings (testnet.py:63).
+
+    ``rel_tolerance``: fp32 plateau detection. The reference's 1e-10 absolute
+    tolerance works on fp64 host ICP, where the error change hits an exact
+    plateau after a few dozen iterations; in fp32 the change bottoms out at
+    ~1e-7*err of rounding noise and the absolute test never fires, burning
+    the full iteration budget on a converged solution. An element is
+    therefore also done when |Δerr| < rel_tolerance * err — the same
+    "error stopped changing" semantics at fp32 precision. Set it to 0 to
+    force the literal absolute test.
+
+    ``stall_patience``: stop an element whose error hasn't dropped by more
+    than the plateau threshold, cumulatively, over this many consecutive
+    iterations (sub-threshold but steady progress keeps re-arming the
+    window; rounding-noise drift at the floor does not).
+    Plateau/period-2 tests catch clean convergence and clean oscillation,
+    but an element wandering a flat error landscape (period-3+, or drift at
+    the noise floor) defeats both and burns the whole budget — measured:
+    the eval batch runs all 1024 iterations without this, ~70 with it,
+    while returned transforms stay at the best-so-far state either way
+    (``best_src`` tracking makes stopping lossless).  0 disables.
+
+    ``coarse_points``: coarse-to-fine (multigrid) warm start. When > 0 and
+    below N, a first ICP phase runs on stride-subsampled clouds of this
+    size (clouds are unordered, so a stride IS a uniform subsample); its
+    best rigid transform warm-starts the full-resolution phase, which then
+    only pays full-size NN passes for the final approach. At N=1024,
+    coarse_points=256 makes a coarse iteration 1/16 the work of a full
+    one. The full-resolution phase runs the SAME convergence machinery to
+    the SAME thresholds, so the converged result differs from cold-start
+    ICP only by basin-entry rounding (measured: <=1e-6 relative CD/EMD on
+    trained-model predictions, same bar as ``stall_patience``). 0 (the
+    core default) = cold start; the eval drivers default it ON and
+    auto-disable it in strict mode (``--icp_patience 0``).
+    """
+    bsz = a.shape[0]
+    src0 = a
+    if 0 < coarse_points < a.shape[1]:
+        sa = a.shape[1] // coarse_points
+        sb = b.shape[1] // coarse_points
+        a_c = a[:, ::sa][:, :coarse_points]
+        b_c = b[:, ::sb][:, :coarse_points]
+        best_c = _icp_loop(a_c, b_c, a_c, coarse_iterations, tolerance,
+                           rel_tolerance, stall_patience)
+        r0, t0 = best_fit_rotation_batched(a_c, best_c)
+        src0 = (
+            jnp.einsum("bni,bji->bnj", a, r0, precision=_HI)
+            + t0[:, None, :]
+        )
+    src = _icp_loop(a, b, src0, max_iterations, tolerance, rel_tolerance,
+                    stall_patience)
     r, t = best_fit_rotation_batched(a, src)
     top = jnp.concatenate([r, t[:, :, None]], axis=2)  # (B, 3, 4)
     bottom = jnp.broadcast_to(
@@ -313,12 +362,16 @@ def align_pred_to_gt(
     tolerance: float = 1e-10,
     rel_tolerance: float = 1e-6,
     stall_patience: int = 32,
+    coarse_points: int = 0,
+    coarse_iterations: int = 512,
 ) -> jnp.ndarray:
     """The eval drivers' alignment step (testnet.py:62-66): fit T = icp(gt,
     pred), then apply ``pred @ R - t`` to pull the prediction onto the GT."""
     t = batched_icp(gt, pred, max_iterations=max_iterations,
                     tolerance=tolerance, rel_tolerance=rel_tolerance,
-                    stall_patience=stall_patience)
+                    stall_patience=stall_patience,
+                    coarse_points=coarse_points,
+                    coarse_iterations=coarse_iterations)
     r = t[:, :3, :3]
     tr = t[:, :3, 3]
     return jnp.einsum("bnj,bjk->bnk", pred, r, precision=_HI) - tr[:, None, :]

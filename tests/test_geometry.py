@@ -164,6 +164,43 @@ def test_icp_stall_patience_is_lossless():
     np.testing.assert_allclose(t_pat, t_full, atol=1e-5)
 
 
+def test_icp_coarse_to_fine_matches_cold_start():
+    """The coarse-to-fine warm start (coarse_points) must land on the same
+    transform as cold-start ICP on a well-posed alignment: the full-res
+    phase runs the same convergence machinery to the same thresholds, so
+    the warm start only changes where the basin is entered."""
+    rng = np.random.RandomState(5)
+    gt = rng.rand(4, 1024, 3).astype(np.float32) * 0.9
+    theta = 0.3
+    r = np.array([[np.cos(theta), -np.sin(theta), 0],
+                  [np.sin(theta), np.cos(theta), 0], [0, 0, 1]], np.float32)
+    pred = gt @ r.T + 0.06 + rng.randn(4, 1024, 3).astype(np.float32) * 0.002
+    t_cold = np.asarray(
+        batched_icp(jnp.asarray(gt), jnp.asarray(pred), max_iterations=512)
+    )
+    t_warm = np.asarray(
+        batched_icp(jnp.asarray(gt), jnp.asarray(pred), max_iterations=512,
+                    coarse_points=256)
+    )
+    np.testing.assert_allclose(t_warm, t_cold, atol=2e-4)
+    # And it genuinely aligns (not just agrees with itself).
+    rr, tt = t_warm[:, :3, :3], t_warm[:, :3, 3]
+    aligned = np.einsum("bij,bnj->bni", rr, gt) + tt[:, None, :]
+    assert np.abs(aligned - pred).mean() < 0.01
+
+
+def test_icp_coarse_points_above_n_is_cold_start():
+    """coarse_points >= N must reduce to the plain cold-start path."""
+    rng = np.random.RandomState(6)
+    gt = rng.rand(2, 128, 3).astype(np.float32)
+    pred = gt @ np.eye(3, dtype=np.float32) + 0.02
+    t_plain = np.asarray(batched_icp(jnp.asarray(gt), jnp.asarray(pred),
+                                     max_iterations=64))
+    t_big = np.asarray(batched_icp(jnp.asarray(gt), jnp.asarray(pred),
+                                   max_iterations=64, coarse_points=128))
+    np.testing.assert_allclose(t_big, t_plain, atol=0)
+
+
 def test_grid_dist_matches_scipy():
     ours = grid_dist(8, 8)
     x, y = np.meshgrid(range(8), range(8), indexing="ij")
