@@ -8,7 +8,9 @@ exercised by bench.py and the driver's compile checks, not the unit suite.
 import os
 
 # Force CPU regardless of ambient JAX_PLATFORMS (the dev box exposes a real
-# TPU chip; set FENET_TEST_PLATFORM=tpu to run the suite against it).
+# TPU chip; set FENET_TEST_PLATFORM=axon to run the suite against it — the
+# chip registers through the experimental 'axon' platform, and forcing the
+# literal 'tpu' plugin fails with "No jellyfish device found").
 os.environ["JAX_PLATFORMS"] = os.environ.get("FENET_TEST_PLATFORM", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -34,4 +36,9 @@ jax.config.update("jax_enable_x64", False)
 # in-process rendezvous watchdog).
 from fenet.utils.compilation_cache import enable  # noqa: E402
 
-enable(platform="cpu")
+# On-chip runs (FENET_TEST_PLATFORM=axon) share the DEFAULT cache dir with
+# bench.py / the CLI drivers — same platform, so their compiled programs
+# are valid hits here (a first pytest-on-chip run otherwise recompiles
+# everything: measured 9:44 vs ~5 min for the cached smoke script).
+_plat = os.environ["JAX_PLATFORMS"]
+enable(platform="cpu" if _plat == "cpu" else None)

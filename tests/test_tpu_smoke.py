@@ -5,7 +5,7 @@ the gap that shipped the round-3 Sinkhorn g-layout bug. These tests run the
 same 9 production-shape checks through pytest when the suite targets real
 hardware::
 
-    FENET_TEST_PLATFORM=tpu python -m pytest tests/test_tpu_smoke.py -v
+    FENET_TEST_PLATFORM=axon python -m pytest tests/test_tpu_smoke.py -v
 
 On the default CPU backend every test skips (the standalone
 ``python tpu_smoke.py`` script is the per-round runner and writes the
@@ -26,7 +26,7 @@ from tpu_smoke import CHECKS  # noqa: E402
 
 pytestmark = pytest.mark.skipif(
     jax.default_backend() != "tpu",
-    reason="real-TPU smoke subset (set FENET_TEST_PLATFORM=tpu)",
+    reason="real-TPU smoke subset (set FENET_TEST_PLATFORM=axon)",
 )
 
 
