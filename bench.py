@@ -372,8 +372,15 @@ def run_serving_latency(model, variables, deployed=None, reps=200):
             "max_ms": round(lat[-1], 3), "reps": len(lat)}
 
 
-def run_reference_structured(model, variables, batches, n_samples=48):
-    """batch=1 + host ICP + per-sample metrics: the reference's structure."""
+def run_reference_structured(model, variables, batches, n_samples=48,
+                             budget_seconds=90.0):
+    """batch=1 + host ICP + per-sample metrics: the reference's structure.
+
+    Per-sample wall is dominated by the host-side ICP (1024 sklearn NN
+    fits on this 1-core box, ~5.6 s/sample) and is stable sample to
+    sample, so the run stops at ``budget_seconds`` once at least 4
+    samples are in — 48 uncapped samples cost ~270 s and starved every
+    other bench section out of the round budget (round-4 lesson)."""
     import jax
     import jax.numpy as jnp
 
@@ -398,6 +405,7 @@ def run_reference_structured(model, variables, batches, n_samples=48):
     flat = [(i, p) for img, pts in batches for i, p in zip(img, pts)]
     flat = flat[:n_samples]
     t0 = time.time()
+    measured = 0
     for img, pts in flat:
         img = img.astype(np.float32)  # reference ships float32 tensors
         pred = np.asarray(fwd(variables, img[None]))[0]  # device -> host
@@ -405,8 +413,11 @@ def run_reference_structured(model, variables, batches, n_samples=48):
         aligned = (pred @ t[:3, :3] - t[:3, 3])[None]
         m = eval_metrics(jnp.asarray(aligned), jnp.asarray(pts[None]))
         jax.block_until_ready(m["ChamferDistance"])
+        measured += 1
+        if measured >= 4 and time.time() - t0 > budget_seconds:
+            break
     wall = time.time() - t0
-    return len(flat) / wall, wall
+    return measured / wall, wall, measured
 
 
 def run_train_stage_bench(mesh, batch=128, reps=3):
@@ -724,6 +735,13 @@ def run_stage_bench(model, variables, batch=48, reps=5):
 def main(argv=None):
     import argparse
 
+    # Budget clock starts NOW: the backend probe below can burn up to ~8
+    # minutes on a flapping backend, and the driver's kill timer started
+    # with the process — a t0 taken inside _run() would undercount and let
+    # sections launch with no time to finish (the truncated-record failure
+    # the budget exists to prevent).
+    t_start = time.time()
+
     parser = argparse.ArgumentParser()
     parser.add_argument("--stages", action="store_true",
                         help="print the per-stage eval-cycle breakdown "
@@ -769,7 +787,7 @@ def main(argv=None):
             }))
             return 1
     try:
-        return _run(opt)
+        return _run(opt, t_start)
     except RuntimeError as e:  # backend died mid-run (flap after probe)
         text = str(e)
         if "UNAVAILABLE" in text or "Unable to initialize backend" in text:
@@ -792,15 +810,18 @@ class _Record:
     lost the whole round record to output truncation (BENCH_r03 parsed:
     null)."""
 
-    def __init__(self, detail_file, sections):
+    def __init__(self, detail_file, sections, t0=None):
         self.detail_file = detail_file
         self.planned = sections
         self.done = []
+        self.skipped = []  # planned but budget-skipped: NOT done
         self.value = None
         self.vs_baseline = None
         self.scalars = {}  # compact extras
         self.detail = {}
-        self.t0 = time.time()
+        # t0 = PROCESS start when provided: the budget competes with the
+        # driver's kill timer, which started with the process, not here.
+        self.t0 = time.time() if t0 is None else t0
 
     def emit(self, partial=True):
         full = {
@@ -809,8 +830,13 @@ class _Record:
             "unit": "images/sec/chip",
             "vs_baseline": self.vs_baseline,
             "sections_done": list(self.done),
+            "sections_skipped": list(self.skipped),
             "sections_planned": list(self.planned),
-            "partial": partial,
+            # partial = the run may still be mid-flight; a final record
+            # with skipped sections keeps them visible in sections_skipped
+            # rather than claiming completeness (round-4 lesson: a budget-
+            # starved run once reported all 4 sections 'done').
+            "partial": partial or bool(self.skipped),
             "elapsed_seconds": round(time.time() - self.t0, 1),
             **self.scalars,
             "detail": self.detail,
@@ -826,7 +852,7 @@ class _Record:
         print(json.dumps(compact), flush=True)
 
 
-def _run(opt):
+def _run(opt, t_start=None):
     from fenet.utils.compilation_cache import enable
 
     enable()  # big fused steps compile once per machine
@@ -841,7 +867,7 @@ def _run(opt):
         return
 
     sections = [s.strip() for s in opt.sections.split(",") if s.strip()]
-    rec = _Record(opt.detail_file, sections)
+    rec = _Record(opt.detail_file, sections, t0=t_start)
     mesh = make_mesh(1)
 
     def over_budget(reserve):
@@ -853,7 +879,7 @@ def _run(opt):
         throughput, wall, cd, compute_tput = run_batched(
             model, variables, batches, mesh
         )
-        ref_throughput, ref_wall = run_reference_structured(
+        ref_throughput, ref_wall, ref_samples = run_reference_structured(
             model, variables, batches
         )
         rec.value = round(throughput, 3)
@@ -863,7 +889,7 @@ def _run(opt):
             "samples": sum(b[0].shape[0] for b in batches),
             "wall_seconds": round(wall, 3),
             "baseline_images_per_sec": round(ref_throughput, 3),
-            "baseline_samples": 48,
+            "baseline_samples": ref_samples,
             "baseline_note": (
                 "reference-STRUCTURED same-chip proxy (synthetic data, "
                 "batch=1, per-sample host ICP + device round-trips, "
@@ -888,6 +914,8 @@ def _run(opt):
     if "train" in sections:
         if over_budget(150):
             rec.detail["train"] = {"skipped": "budget"}
+            rec.skipped.append("train")
+            rec.emit()
         else:
             try:
                 (train_ips, train_sps, train_base_ips,
@@ -920,13 +948,15 @@ def _run(opt):
                 }
             except Exception as e:  # pragma: no cover - backend-dependent
                 rec.detail["train"] = {"error": str(e)[-300:]}
-        rec.done.append("train")
-        rec.emit()
+            rec.done.append("train")
+            rec.emit()
 
     # ---- serving ---------------------------------------------------------
     if "serving" in sections:
         if over_budget(110):
             rec.detail["serving"] = {"skipped": "budget"}
+            rec.skipped.append("serving")
+            rec.emit()
         else:
             try:
                 rec.detail["serving"] = _serving_section(
@@ -934,13 +964,18 @@ def _run(opt):
                 )
             except Exception as e:  # pragma: no cover - backend-dependent
                 rec.detail["serving"] = {"error": str(e)[-300:]}
-        rec.done.append("serving")
-        rec.emit()
+            rec.done.append("serving")
+            rec.emit()
 
     # ---- stage/MFU breakdowns --------------------------------------------
     if "stages" in sections:
         if over_budget(120):
             rec.detail["stages"] = {"skipped": "budget"}
+            # mark BOTH entries so record diffs can tell 'skipped' from
+            # 'absent'.
+            rec.detail["train_stages"] = {"skipped": "budget"}
+            rec.skipped.append("stages")
+            rec.emit()
         else:
             try:
                 rec.detail["stages"] = run_stage_bench(model, variables)
@@ -953,8 +988,8 @@ def _run(opt):
                     rec.detail["train_stages"] = run_train_stage_bench(mesh)
                 except Exception as e:  # pragma: no cover
                     rec.detail["train_stages"] = {"error": str(e)[-300:]}
-        rec.done.append("stages")
-        rec.emit()
+            rec.done.append("stages")
+            rec.emit()
 
     rec.emit(partial=False)
 

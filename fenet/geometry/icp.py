@@ -325,15 +325,19 @@ def batched_icp(
     only pays full-size NN passes for the final approach. At N=1024,
     coarse_points=256 makes a coarse iteration 1/16 the work of a full
     one. The full-resolution phase runs the SAME convergence machinery to
-    the SAME thresholds, so the converged result differs from cold-start
-    ICP only by basin-entry rounding (measured: <=1e-6 relative CD/EMD on
-    trained-model predictions, same bar as ``stall_patience``). 0 (the
-    core default) = cold start; the eval drivers default it ON and
-    auto-disable it in strict mode (``--icp_patience 0``).
+    the SAME thresholds, so on well-posed alignments the result matches
+    cold-start ICP to ~2e-4 on the transform (tests/test_geometry.py);
+    ill-posed alignments can enter a different basin (~1e-2 relative
+    metric shift measured on untrained-model predictions). 0 (the default
+    everywhere, including the eval CLIs' ``--icp_coarse_points``) = cold
+    start; measured only 1.09x on the v5e eval batch, so it stays an
+    opt-in (docs/DESIGN.md §3 item 5).
     """
     bsz = a.shape[0]
     src0 = a
-    if 0 < coarse_points < a.shape[1]:
+    # Gate on BOTH clouds: with only a's count checked, a smaller b would
+    # yield stride 0 (b.shape[1] // coarse_points) and crash at trace time.
+    if 0 < coarse_points < min(a.shape[1], b.shape[1]):
         sa = a.shape[1] // coarse_points
         sb = b.shape[1] // coarse_points
         a_c = a[:, ::sa][:, :coarse_points]

@@ -67,6 +67,29 @@ def test_record_compact_line_under_500_bytes(tmp_path, capsys):
     assert full["detail"]["eval"]["huge"].startswith("x")
 
 
+def test_record_skipped_sections_never_claim_complete(tmp_path, capsys):
+    """Budget-skipped sections go to sections_skipped and keep the final
+    record partial (round-4 lesson: a budget-starved run once reported all
+    4 sections 'done' with partial=false, hiding that train/serving/stages
+    never measured anything)."""
+    import json
+
+    bench = pytest.importorskip("bench")
+    rec = bench._Record(str(tmp_path / "d.json"),
+                        ["eval", "train", "serving", "stages"])
+    rec.value = 300.0
+    rec.vs_baseline = 100.0
+    rec.done.append("eval")
+    rec.skipped.extend(["train", "serving", "stages"])
+    rec.emit(partial=False)
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    parsed = json.loads(out)
+    assert parsed["partial"] is True
+    assert parsed["sections_done"] == ["eval"]
+    assert parsed["sections_skipped"] == ["train", "serving", "stages"]
+    assert len(out.encode()) < 500
+
+
 def test_record_partial_emission_sequence(tmp_path, capsys):
     """A run killed mid-way leaves the last line as a valid partial record."""
     import json

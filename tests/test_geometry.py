@@ -201,6 +201,21 @@ def test_icp_coarse_points_above_n_is_cold_start():
     np.testing.assert_allclose(t_big, t_plain, atol=0)
 
 
+def test_icp_coarse_points_gates_on_smaller_cloud():
+    """The coarse gate must consider BOTH cloud sizes: with b smaller than
+    coarse_points the stride b.shape[1] // coarse_points would be zero and
+    crash at trace time (round-4 review finding) — such calls must fall
+    back to cold start instead."""
+    rng = np.random.RandomState(7)
+    gt = rng.rand(2, 1024, 3).astype(np.float32)  # a: above coarse_points
+    pred = rng.rand(2, 512, 3).astype(np.float32)  # b: below coarse_points
+    t_coarse = np.asarray(batched_icp(jnp.asarray(gt), jnp.asarray(pred),
+                                      max_iterations=16, coarse_points=600))
+    t_plain = np.asarray(batched_icp(jnp.asarray(gt), jnp.asarray(pred),
+                                     max_iterations=16))
+    np.testing.assert_allclose(t_coarse, t_plain, atol=0)
+
+
 def test_grid_dist_matches_scipy():
     ours = grid_dist(8, 8)
     x, y = np.meshgrid(range(8), range(8), indexing="ij")

@@ -20,44 +20,11 @@ import argparse
 import json
 import os
 import sys
-import time
-
-import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-
-def run_arm(scale_phases, scale_thresh, batches, batch, epochs_steps):
-    import jax
-
-    from fenet.models.generator import Generator
-    from fenet.parallel.mesh import make_mesh, shard_batch
-    from fenet.train.config import TrainConfig
-    from fenet.train.trainer import Trainer, reference_lr_schedule
-
-    cfg = TrainConfig(batch_size=batch, emd_scale_phases=scale_phases,
-                      emd_scale_thresh=scale_thresh)
-    mesh = make_mesh(1)
-    model = Generator(num_points=1024, backbone=cfg.backbone)
-    trainer = Trainer(model, cfg, mesh=mesh)
-    state = trainer.init_state(
-        jax.random.PRNGKey(0), np.zeros((1, 128, 128, 3), np.float32)
-    )
-    hist, step_walls = [], []
-    for i, (img, pts) in enumerate(batches):
-        sh = shard_batch({"i": img, "p": pts}, mesh)
-        epoch = 1 + i // epochs_steps
-        lr = reference_lr_schedule(cfg.lr, epoch)
-        t0 = time.time()
-        state, stats = trainer.train_step(state, sh["i"], sh["p"],
-                                          epoch=epoch, lr=lr)
-        losses = {k: float(v) for k, v in stats.items()}  # forces drain
-        step_walls.append(time.time() - t0)
-        hist.append(losses)
-        print(json.dumps({"arm": f"phases={scale_phases}", "step": i,
-                          "wall_s": round(step_walls[-1], 3), **losses}),
-              flush=True)
-    return hist, step_walls
+from equiv_common import make_batches, train_arm, wall_sans_compile  # noqa: E402
 
 
 def main(argv=None):
@@ -73,23 +40,23 @@ def main(argv=None):
     from fenet.utils.compilation_cache import enable
 
     enable()
+    from fenet.train.config import TrainConfig
 
-    # Identical data order for both arms (fixed seed; synthetic clouds in
-    # the EMD contract's [0,1] range like bench.py's train section).
-    rng = np.random.RandomState(0)
-    batches = [
-        ((rng.rand(opt.batch, 128, 128, 3) * 255).astype(np.float32),
-         (rng.rand(opt.batch, 1024, 3) * 0.9).astype(np.float32))
-        for _ in range(opt.steps)
-    ]
+    batches, _ = make_batches(opt.steps, opt.batch)
 
-    strict_hist, strict_w = run_arm(1, 0.0, batches, opt.batch,
-                                    opt.steps_per_epoch)
-    adapt_hist, adapt_w = run_arm(3, 0.3, batches, opt.batch,
-                                  opt.steps_per_epoch)
+    def arm(scale_phases, scale_thresh, label):
+        cfg = TrainConfig(batch_size=opt.batch,
+                          emd_scale_phases=scale_phases,
+                          emd_scale_thresh=scale_thresh)
+        hist, walls, _, _ = train_arm(cfg, batches, opt.steps_per_epoch,
+                                      label)
+        return hist, walls
 
-    # Exclude each arm's first step (compile) from the wall comparison.
-    s_wall, a_wall = sum(strict_w[1:]), sum(adapt_w[1:])
+    strict_hist, strict_w = arm(1, 0.0, "phases=1")
+    adapt_hist, adapt_w = arm(3, 0.3, "phases=3")
+
+    s_wall = wall_sans_compile(strict_w)
+    a_wall = wall_sans_compile(adapt_w)
     final_s, final_a = strict_hist[-1], adapt_hist[-1]
     rel = {
         k: abs(final_s[k] - final_a[k]) / max(abs(final_s[k]), 1e-9)

@@ -25,61 +25,11 @@ import argparse
 import json
 import os
 import sys
-import time
-
-import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-
-def run_arm(emd_impl, batches, batch, steps_per_epoch, held_out):
-    import jax
-    import jax.numpy as jnp
-
-    from fenet.losses.facade import chamfer_loss, emd_loss
-    from fenet.models.generator import Generator
-    from fenet.parallel.mesh import make_mesh, shard_batch
-    from fenet.train.config import TrainConfig
-    from fenet.train.trainer import Trainer, reference_lr_schedule
-
-    cfg = TrainConfig(batch_size=batch, emd_impl=emd_impl)
-    mesh = make_mesh(1)
-    model = Generator(num_points=1024, backbone=cfg.backbone)
-    trainer = Trainer(model, cfg, mesh=mesh)
-    state = trainer.init_state(
-        jax.random.PRNGKey(0), np.zeros((1, 128, 128, 3), np.float32)
-    )
-    hist, step_walls = [], []
-    for i, (img, pts) in enumerate(batches):
-        sh = shard_batch({"i": img, "p": pts}, mesh)
-        epoch = 1 + i // steps_per_epoch
-        lr = reference_lr_schedule(cfg.lr, epoch)
-        t0 = time.time()
-        state, stats = trainer.train_step(state, sh["i"], sh["p"],
-                                          epoch=epoch, lr=lr)
-        losses = {k: float(v) for k, v in stats.items()}  # forces drain
-        step_walls.append(time.time() - t0)
-        hist.append(losses)
-        print(json.dumps({"arm": emd_impl, "step": i,
-                          "wall_s": round(step_walls[-1], 3), **losses}),
-              flush=True)
-
-    # Cross-eval: strict auction EMD + CD on a held-out batch, both arms.
-    @jax.jit
-    def score(params, batch_stats, img, pts):
-        (_, _, pc3), _ = model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            img.astype(jnp.float32), train=True, mutable=["batch_stats"],
-        )
-        return (chamfer_loss(pc3, pts),
-                emd_loss(pc3, pts, 0.05, 3000))
-
-    h_img, h_pts = held_out
-    cd, emd = score(state.params, state.batch_stats, jnp.asarray(h_img),
-                    jnp.asarray(h_pts))
-    cross = {"chamfer": float(cd), "auction_emd": float(emd)}
-    print(json.dumps({"arm": emd_impl, "cross_eval": cross}), flush=True)
-    return hist, step_walls, cross
+from equiv_common import make_batches, train_arm, wall_sans_compile  # noqa: E402
 
 
 def main(argv=None):
@@ -95,22 +45,44 @@ def main(argv=None):
     from fenet.utils.compilation_cache import enable
 
     enable()
+    import jax
+    import jax.numpy as jnp
 
-    rng = np.random.RandomState(0)
-    batches = [
-        ((rng.rand(opt.batch, 128, 128, 3) * 255).astype(np.float32),
-         (rng.rand(opt.batch, 1024, 3) * 0.9).astype(np.float32))
-        for _ in range(opt.steps)
-    ]
-    held_out = ((rng.rand(opt.batch, 128, 128, 3) * 255).astype(np.float32),
-                (rng.rand(opt.batch, 1024, 3) * 0.9).astype(np.float32))
+    from fenet.losses.facade import chamfer_loss, emd_loss
+    from fenet.train.config import TrainConfig
 
-    a_hist, a_w, a_cross = run_arm("auction", batches, opt.batch,
-                                   opt.steps_per_epoch, held_out)
-    s_hist, s_w, s_cross = run_arm("sinkhorn", batches, opt.batch,
-                                   opt.steps_per_epoch, held_out)
+    batches, held_out = make_batches(opt.steps, opt.batch)
 
-    a_wall, s_wall = sum(a_w[1:]), sum(s_w[1:])
+    def arm(emd_impl):
+        cfg = TrainConfig(batch_size=opt.batch, emd_impl=emd_impl)
+        hist, walls, state, trainer = train_arm(
+            cfg, batches, opt.steps_per_epoch, emd_impl
+        )
+
+        # Cross-eval: strict auction EMD + CD on a held-out batch.
+        model = trainer.model
+
+        @jax.jit
+        def score(params, batch_stats, img, pts):
+            (_, _, pc3), _ = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                img.astype(jnp.float32), train=True,
+                mutable=["batch_stats"],
+            )
+            return (chamfer_loss(pc3, pts), emd_loss(pc3, pts, 0.05, 3000))
+
+        h_img, h_pts = held_out
+        cd, emd = score(state.params, state.batch_stats,
+                        jnp.asarray(h_img), jnp.asarray(h_pts))
+        cross = {"chamfer": float(cd), "auction_emd": float(emd)}
+        print(json.dumps({"arm": emd_impl, "cross_eval": cross}),
+              flush=True)
+        return hist, walls, cross
+
+    a_hist, a_w, a_cross = arm("auction")
+    s_hist, s_w, s_cross = arm("sinkhorn")
+
+    a_wall, s_wall = wall_sans_compile(a_w), wall_sans_compile(s_w)
     record = {
         "settings": {
             "batch": opt.batch, "steps": opt.steps,
@@ -132,7 +104,7 @@ def main(argv=None):
             for k in a_cross
         },
         "speedup_auction_over_sinkhorn_wall_ratio": round(
-            a_wall / max(s_wall, 1e-9), 3
+            a_wall / s_wall, 3
         ),
     }
     with open(opt.out, "w") as f:

@@ -316,6 +316,14 @@ def main(argv=None):
         return 2
 
     names = opt.only.split(",") if opt.only else None
+    if names:
+        known = {name for name, _ in CHECKS}
+        unknown = [n for n in names if n not in known]
+        if unknown:
+            # A typo must not produce an empty-but-green TPU_SMOKE.json.
+            print(json.dumps({"error": f"unknown checks: {unknown}",
+                              "known": sorted(known)}))
+            return 2
     record = {
         "platform": backend,
         "device": str(jax.devices()[0]),
