@@ -107,12 +107,12 @@ def _cost_analysis(jitted, *args):
 def _build_model_and_state(seed: int = 0):
     import jax
 
-    from fenet.models.generator import Generator
+    from fenet.models.generator import Generator, init_variables
 
     model = Generator(num_points=1024, backbone="RepVGG-A2")
-    variables = model.init(
-        jax.random.PRNGKey(seed), np.zeros((1, 128, 128, 3), np.float32),
-        train=False,
+    variables = init_variables(
+        model, np.zeros((1, 128, 128, 3), np.float32),
+        rng=jax.random.PRNGKey(seed),
     )
     return model, variables
 
@@ -373,7 +373,7 @@ def run_serving_latency(model, variables, deployed=None, reps=200):
 
 
 def run_reference_structured(model, variables, batches, n_samples=48,
-                             budget_seconds=90.0):
+                             budget_seconds=60.0):
     """batch=1 + host ICP + per-sample metrics: the reference's structure.
 
     Per-sample wall is dominated by the host-side ICP (1024 sklearn NN
@@ -750,16 +750,21 @@ def main(argv=None):
     parser.add_argument("--no_probe", action="store_true",
                         help="skip the subprocess backend probe (saves "
                              "~15s when the chip is known-good)")
-    parser.add_argument("--sections", default="eval,train,serving,stages",
+    parser.add_argument("--sections", default="eval,train,stages,serving",
                         help="comma list of sections to run (subset of "
-                             "eval,train,serving,stages). eval carries the "
-                             "headline metric; the others enrich it and "
-                             "are skipped when the budget runs short")
+                             "eval,train,stages,serving; execution order "
+                             "is fixed regardless of list order). eval "
+                             "carries the headline metric; the others "
+                             "enrich it and are skipped when the budget "
+                             "runs short")
     parser.add_argument("--budget_seconds", type=float, default=float(
-        os.environ.get("FENET_BENCH_BUDGET", "520")),
+        os.environ.get("FENET_BENCH_BUDGET", "570")),
         help="soft wall-clock budget: optional sections are skipped when "
              "the elapsed time leaves no room for them (the driver kills "
-             "the run at ~10 min; a partial record beats a lost one)")
+             "the run at ~10 min; a partial record beats a lost one). "
+             "570 leaves ~30s of kill-margin — and because the headline "
+             "is re-emitted after EVERY section, even a mid-section kill "
+             "leaves the last stdout line parseable")
     parser.add_argument("--detail_file", default=os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
         help="full detail blob destination (the stdout line stays compact)")
@@ -912,64 +917,53 @@ def _run(opt, t_start=None):
 
     # ---- train ---------------------------------------------------------
     if "train" in sections:
-        if over_budget(150):
-            rec.detail["train"] = {"skipped": "budget"}
-            rec.skipped.append("train")
-            rec.emit()
-        else:
-            try:
-                (train_ips, train_sps, train_base_ips,
-                 train_sk_ips) = run_train_bench(mesh)
-                rec.scalars["train_ips"] = round(train_ips, 3)
-                rec.scalars["train_vs_base"] = round(
-                    train_ips / train_base_ips, 3
-                )
-                rec.scalars["sinkhorn_ips"] = _round_or_pass(train_sk_ips)
-                rec.detail["train"] = {
-                    "images_per_sec_chip": round(train_ips, 3),
-                    "steps_per_sec": round(train_sps, 4),
-                    "batch": 128,
-                    "settings": (
-                        "CD+EMD(eps=0.05,iters=3000)+Adam, train.py:36-46"
-                    ),
-                    "baseline_images_per_sec": round(train_base_ips, 3),
-                    "vs_baseline": round(train_ips / train_base_ips, 3),
-                    "baseline_note": (
-                        "same jitted step with auction early-exit disabled "
-                        "(reference always runs all 3000 iterations, "
-                        "emd_cuda.cu:256); same-chip proxy"
-                    ),
-                    "sinkhorn_images_per_sec": _round_or_pass(train_sk_ips),
-                    "sinkhorn_note": (
-                        "opt-in --emd_impl sinkhorn (annealed entropic OT, "
-                        "VMEM-resident Pallas potentials loop, blur=0.01 x "
-                        "300 iters); same step otherwise"
-                    ),
-                }
-            except Exception as e:  # pragma: no cover - backend-dependent
-                rec.detail["train"] = {"error": str(e)[-300:]}
-            rec.done.append("train")
-            rec.emit()
-
-    # ---- serving ---------------------------------------------------------
-    if "serving" in sections:
-        if over_budget(110):
-            rec.detail["serving"] = {"skipped": "budget"}
-            rec.skipped.append("serving")
-            rec.emit()
-        else:
-            try:
-                rec.detail["serving"] = _serving_section(
-                    model, variables, mesh, rec
-                )
-            except Exception as e:  # pragma: no cover - backend-dependent
-                rec.detail["serving"] = {"error": str(e)[-300:]}
-            rec.done.append("serving")
-            rec.emit()
+        # No budget gate: the train scalars (train_ips, sinkhorn_ips) are
+        # the record's second-most-important content after the headline,
+        # and the record is re-emitted incrementally — if the driver's
+        # kill timer fires mid-train, the last complete stdout line is
+        # still the valid post-eval record, which is exactly what skipping
+        # would have produced anyway.
+        try:
+            (train_ips, train_sps, train_base_ips,
+             train_sk_ips) = run_train_bench(mesh)
+            rec.scalars["train_ips"] = round(train_ips, 3)
+            rec.scalars["train_vs_base"] = round(
+                train_ips / train_base_ips, 3
+            )
+            rec.scalars["sinkhorn_ips"] = _round_or_pass(train_sk_ips)
+            rec.detail["train"] = {
+                "images_per_sec_chip": round(train_ips, 3),
+                "steps_per_sec": round(train_sps, 4),
+                "batch": 128,
+                "settings": (
+                    "CD+EMD(eps=0.05,iters=3000)+Adam, train.py:36-46"
+                ),
+                "baseline_images_per_sec": round(train_base_ips, 3),
+                "vs_baseline": round(train_ips / train_base_ips, 3),
+                "baseline_note": (
+                    "same jitted step with auction early-exit disabled "
+                    "(reference always runs all 3000 iterations, "
+                    "emd_cuda.cu:256); same-chip proxy"
+                ),
+                "sinkhorn_images_per_sec": _round_or_pass(train_sk_ips),
+                "sinkhorn_note": (
+                    "opt-in --emd_impl sinkhorn (annealed entropic OT, "
+                    "VMEM-resident Pallas potentials loop, blur=0.01 x "
+                    "300 iters); same step otherwise"
+                ),
+            }
+        except Exception as e:  # pragma: no cover - backend-dependent
+            rec.detail["train"] = {"error": str(e)[-300:]}
+        rec.done.append("train")
+        rec.emit()
 
     # ---- stage/MFU breakdowns --------------------------------------------
+    # Runs BEFORE serving: when the tunnel/compile service is having a slow
+    # day (observed fixed overhead anywhere in 115-320 s for identical
+    # code) something has to drop, and the stage tables carry this round's
+    # evidence while the serving sweep repeats round-3 numbers.
     if "stages" in sections:
-        if over_budget(120):
+        if over_budget(150):
             rec.detail["stages"] = {"skipped": "budget"}
             # mark BOTH entries so record diffs can tell 'skipped' from
             # 'absent'.
@@ -989,6 +983,22 @@ def _run(opt, t_start=None):
                 except Exception as e:  # pragma: no cover
                     rec.detail["train_stages"] = {"error": str(e)[-300:]}
             rec.done.append("stages")
+            rec.emit()
+
+    # ---- serving ---------------------------------------------------------
+    if "serving" in sections:
+        if over_budget(60):
+            rec.detail["serving"] = {"skipped": "budget"}
+            rec.skipped.append("serving")
+            rec.emit()
+        else:
+            try:
+                rec.detail["serving"] = _serving_section(
+                    model, variables, mesh, rec
+                )
+            except Exception as e:  # pragma: no cover - backend-dependent
+                rec.detail["serving"] = {"error": str(e)[-300:]}
+            rec.done.append("serving")
             rec.emit()
 
     rec.emit(partial=False)

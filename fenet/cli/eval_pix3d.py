@@ -18,7 +18,7 @@ import numpy as np
 from fenet.data.loader import DataLoader
 from fenet.data.pix3d import Pix3DDataset
 from fenet.eval.runner import evaluate_dataset
-from fenet.models.generator import Generator
+from fenet.models.generator import Generator, init_variables
 from fenet.train.checkpoint import load_checkpoint
 from fenet.utils.logger import get_logger
 
@@ -84,7 +84,7 @@ def main(argv=None):
         ckpt_dir = opt.model % PIX3D_TO_SHAPENET[cat]
         logger = get_logger(os.path.join(ckpt_dir, "logging_pix3d.log"))
         sample = np.zeros((1, 128, 128, 3), np.float32)
-        variables = gen.init(jax.random.PRNGKey(0), sample, train=False)
+        variables = init_variables(gen, sample)
         blob = load_checkpoint(
             os.path.join(ckpt_dir, "model_best.ckpt"),
             target={"params": variables["params"],

@@ -13,7 +13,7 @@ from fenet.cli.common import ALL_CATS
 from fenet.data.loader import DataLoader
 from fenet.data.shapenet import ShapeNetDataset, load_split
 from fenet.eval.runner import evaluate_dataset
-from fenet.models.generator import Generator
+from fenet.models.generator import Generator, init_variables
 from fenet.train.checkpoint import load_checkpoint
 from fenet.utils.logger import get_logger
 
@@ -80,7 +80,7 @@ def main(argv=None):
         ckpt_dir = opt.model % cat
         logger = get_logger(os.path.join(ckpt_dir, "logging_test.log"))
         sample = np.zeros((1, 128, 128, 3), np.float32)
-        variables = gen.init(jax.random.PRNGKey(0), sample, train=False)
+        variables = init_variables(gen, sample)
         blob = load_checkpoint(
             os.path.join(ckpt_dir, "model_best.ckpt"),
             target={"params": variables["params"],

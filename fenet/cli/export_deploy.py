@@ -26,7 +26,7 @@ import os
 import jax
 import numpy as np
 
-from fenet.models.generator import Generator, to_deploy
+from fenet.models.generator import Generator, init_variables, to_deploy
 from fenet.train.checkpoint import load_checkpoint
 
 
@@ -59,8 +59,8 @@ def main(argv=None):
 
     gen = Generator(num_points=opt.num_points, backbone=opt.backbone,
                     fine_width=opt.fine_width, mid_width=opt.mid_width)
-    variables = gen.init(jax.random.PRNGKey(0),
-                         np.zeros((1, 128, 128, 3), np.float32), train=False)
+    variables = init_variables(
+        gen, np.zeros((1, 128, 128, 3), np.float32))
     blob = load_checkpoint(
         path,
         target={"params": variables["params"],
@@ -110,8 +110,8 @@ def load_deploy_checkpoint(path: str):
         fine_width=meta["fine_width"], mid_width=meta["mid_width"],
         deploy=True,
     )
-    template = gen.init(jax.random.PRNGKey(0),
-                        np.zeros((1, 128, 128, 3), np.float32), train=False)
+    template = init_variables(
+        gen, np.zeros((1, 128, 128, 3), np.float32))
     with open(path, "rb") as f:
         variables = flax.serialization.from_bytes(
             {"params": template["params"]}, f.read()

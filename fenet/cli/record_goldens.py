@@ -39,7 +39,7 @@ from fenet.cli.common import ALL_CATS
 from fenet.data.loader import DataLoader
 from fenet.data.shapenet import ShapeNetDataset, load_split
 from fenet.eval.runner import evaluate_dataset
-from fenet.models.generator import Generator
+from fenet.models.generator import Generator, init_variables
 from fenet.train.checkpoint import load_checkpoint
 
 
@@ -51,7 +51,7 @@ def _load_variables(gen: Generator, opt, cat: str, template=None):
     params on this 1-core host; neither restore path mutates it."""
     if template is None:
         sample = np.zeros((1, 128, 128, 3), np.float32)
-        template = gen.init(jax.random.PRNGKey(0), sample, train=False)
+        template = init_variables(gen, sample)
     variables = template
     if opt.torch_model:
         from fenet.models.convert import load_torch_checkpoint, merge_variables
@@ -147,7 +147,7 @@ def main(argv=None):
         "split": opt.split,
     }, "categories": {}}
     sample = np.zeros((1, 128, 128, 3), np.float32)
-    template = gen.init(jax.random.PRNGKey(0), sample, train=False)
+    template = init_variables(gen, sample)
     for cat in opt.cats:
         err = None
         try:

@@ -12,7 +12,7 @@ import numpy as np
 
 from fenet.data.loader import DataLoader
 from fenet.data.shapenet import ShapeNetDataset, load_split
-from fenet.models.generator import Generator
+from fenet.models.generator import Generator, init_variables
 from fenet.train.checkpoint import load_checkpoint
 from fenet.viz.render import render_clouds
 
@@ -43,7 +43,7 @@ def main(argv=None):
     gen = Generator(num_points=opt.num_points, backbone=opt.backbone,
                     fine_width=opt.fine_width, mid_width=opt.mid_width)
     sample = np.zeros((1, 128, 128, 3), np.float32)
-    variables = gen.init(jax.random.PRNGKey(0), sample, train=False)
+    variables = init_variables(gen, sample)
     blob = load_checkpoint(
         os.path.join(opt.model % opt.category, "model_best.ckpt"),
         target={"params": variables["params"],

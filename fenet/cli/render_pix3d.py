@@ -18,7 +18,7 @@ import numpy as np
 from fenet.cli.eval_pix3d import PIX3D_TO_SHAPENET
 from fenet.data.loader import DataLoader
 from fenet.data.pix3d import Pix3DDataset
-from fenet.models.generator import Generator
+from fenet.models.generator import Generator, init_variables
 from fenet.train.checkpoint import load_checkpoint
 from fenet.viz.render import save_pix3d_cloud_png
 
@@ -57,7 +57,7 @@ def main(argv=None):
     for cat in opt.cats:
         ckpt_dir = opt.model % PIX3D_TO_SHAPENET[cat]
         sample = np.zeros((1, 128, 128, 3), np.float32)
-        variables = gen.init(jax.random.PRNGKey(0), sample, train=False)
+        variables = init_variables(gen, sample)
         blob = load_checkpoint(
             os.path.join(ckpt_dir, "model_best.ckpt"),
             target={"params": variables["params"],

@@ -266,16 +266,41 @@ def to_deploy(model: Generator, variables, dtype=None):
     the fp32 fold is at the 1e-2 relative level (tests/test_deploy.py),
     fine for serving, below golden-parity precision.
     """
-    folded = fold_generator_params(
-        variables["params"], variables["batch_stats"]
-    )
-    if dtype is not None:
-        import jax
+    import jax
 
-        folded = jax.tree_util.tree_map(
-            lambda x: jnp.asarray(x, dtype), folded
-        )
+    # One jitted program, not ~200 eager ops: on tunneled hosts each eager
+    # dispatch pays ~100 ms of round-trip latency, which made the eager
+    # fold cost ~57 s (measured round 4); jitted + persistently cached it
+    # is a single dispatch.
+    @jax.jit
+    def _fold(params, batch_stats):
+        folded = fold_generator_params(params, batch_stats)
+        if dtype is not None:
+            folded = jax.tree_util.tree_map(
+                lambda x: jnp.asarray(x, dtype), folded
+            )
+        return folded
+
+    folded = _fold(variables["params"], variables["batch_stats"])
     return model.clone(deploy=True), {"params": folded}
+
+
+def init_variables(model, sample_images, rng=None, train: bool = False):
+    """``model.init`` as ONE jitted program.
+
+    Eager ``Module.init`` executes the whole forward op by op; on hosts
+    that reach the chip through a high-latency tunnel (~100 ms per
+    dispatch) initializing the A2 generator that way measured ~100 s
+    (round 4). Jitted, it is a single cached executable — seconds warm.
+    Every CLI/driver/bench init goes through here; semantics identical
+    (same RNG stream, same variables pytree).
+    """
+    import jax
+
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    fn = jax.jit(lambda r, x: model.init(r, x, train=train))
+    return fn(rng, jnp.asarray(sample_images))
 
 
 def transpose_clouds(*clouds: jnp.ndarray):

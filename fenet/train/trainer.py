@@ -142,7 +142,9 @@ class Trainer:
     # -- state ---------------------------------------------------------------
 
     def init_state(self, rng, sample_images) -> TrainState:
-        variables = self.model.init(rng, sample_images, train=False)
+        from fenet.models.generator import init_variables
+
+        variables = init_variables(self.model, sample_images, rng=rng)
         return self.state_from_variables(variables)
 
     def state_from_variables(self, variables) -> TrainState:

@@ -215,13 +215,12 @@ def check_sinkhorn_streaming():
 def _deploy_pair():
     import jax
 
-    from fenet.models.generator import Generator
+    from fenet.models.generator import Generator, init_variables
 
     model = Generator(num_points=1024, backbone="RepVGG-A2")
-    variables = model.init(
-        jax.random.PRNGKey(0),
-        np.zeros((1, 128, 128, 3), np.float32),
-        train=False,
+    variables = init_variables(
+        model, np.zeros((1, 128, 128, 3), np.float32),
+        rng=jax.random.PRNGKey(0),
     )
     return model, variables
 
