@@ -27,6 +27,8 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -323,10 +325,20 @@ def main(argv=None):
             print(json.dumps({"error": f"unknown checks: {unknown}",
                               "known": sorted(known)}))
             return 2
+    try:
+        commit = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+    except Exception:  # noqa: BLE001 - traceability only, never fatal
+        commit = None
     record = {
         "platform": backend,
         "device": str(jax.devices()[0]),
         "jax": jax.__version__,
+        "commit": commit,
+        "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "checks": {},
     }
     t_all = time.time()
