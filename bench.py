@@ -827,9 +827,23 @@ class _Record:
         # t0 = PROCESS start when provided: the budget competes with the
         # driver's kill timer, which started with the process, not here.
         self.t0 = time.time() if t0 is None else t0
+        # Traceability (detail blob only — the stdout line stays compact):
+        # which commit produced this record, and when.
+        try:
+            import subprocess
+
+            self.commit = subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                capture_output=True, text=True, timeout=10,
+            ).stdout.strip() or None
+        except Exception:  # noqa: BLE001 - never fatal
+            self.commit = None
 
     def emit(self, partial=True):
         full = {
+            "commit": self.commit,
+            "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             "metric": "shapenet_13cat_eval_throughput",
             "value": self.value,
             "unit": "images/sec/chip",
@@ -852,7 +866,10 @@ class _Record:
                 f.write("\n")
         except OSError:
             pass  # read-only checkout: the stdout line still carries the gist
-        compact = {k: v for k, v in full.items() if k != "detail"}
+        # commit/timestamp live in the detail blob only: the stdout line
+        # has a <500-byte contract (driver tail truncation).
+        compact = {k: v for k, v in full.items()
+                   if k not in ("detail", "commit", "timestamp")}
         compact["detail_file"] = os.path.basename(self.detail_file)
         print(json.dumps(compact), flush=True)
 
