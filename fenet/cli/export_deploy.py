@@ -51,6 +51,18 @@ def main(argv=None):
                              "native bf16 rate (2x fp32) at ~1e-2 relative "
                              "coordinate error — see models.generator."
                              "to_deploy")
+    parser.add_argument("--format", type=str, default="flax",
+                        choices=("flax", "stablehlo"),
+                        help="flax: folded weights, loadable by "
+                             "load_deploy_checkpoint (needs fenet at serve "
+                             "time). stablehlo: self-contained serialized "
+                             "program via jax.export — uint8 pixels in, "
+                             "cloud out, program + weights in one file, "
+                             "symbolic batch; "
+                             "serving needs only jax (serve.artifact)")
+    parser.add_argument("--platforms", type=str, default="tpu,cpu",
+                        help="comma-separated lowering targets for "
+                             "--format stablehlo")
     opt = parser.parse_args(argv)
 
     path = opt.model % opt.category if "%s" in opt.model else opt.model
@@ -68,10 +80,25 @@ def main(argv=None):
     )
     import jax.numpy as jnp
 
-    _, deploy_vars = to_deploy(
+    deploy_gen, deploy_vars = to_deploy(
         gen, {"params": blob["params"], "batch_stats": blob["batch_stats"]},
         dtype=jnp.dtype(opt.dtype) if opt.dtype != "float32" else None,
     )
+
+    if opt.format == "stablehlo":
+        from fenet.serve.artifact import ARTIFACT_SUFFIX, export_artifact
+
+        out = opt.out or os.path.join(
+            os.path.dirname(path), "model_deploy" + ARTIFACT_SUFFIX)
+        meta = export_artifact(
+            deploy_gen, deploy_vars, out,
+            platforms=tuple(p for p in opt.platforms.split(",") if p),
+            extra_meta={"backbone": opt.backbone,
+                        "fine_width": opt.fine_width,
+                        "mid_width": opt.mid_width, "source": path},
+        )
+        print(json.dumps({"out": out, **meta}))
+        return out
 
     out = opt.out or os.path.join(os.path.dirname(path), "model_deploy.ckpt")
     import flax.serialization

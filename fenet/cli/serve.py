@@ -20,7 +20,10 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--deploy_ckpt", type=str, required=True,
                         help="folded serving checkpoint written by "
-                             "fenet.cli.export_deploy")
+                             "fenet.cli.export_deploy; a *.stablehlo "
+                             "frozen artifact (--format stablehlo) is "
+                             "auto-detected and served via jax.export "
+                             "deserialize (fenet.serve.artifact)")
     parser.add_argument("--host", type=str, default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8471)
     parser.add_argument("--max_batch", type=int, default=32,

@@ -21,6 +21,11 @@ Design (TPU-first):
 - **Precision follows the artifact.** The export sidecar's dtype
   (fp32 or bf16 — ``export_deploy --dtype``) drives the forward; the
   response is always fp32 coordinates.
+- **Frozen artifact option.** ``export_deploy --format stablehlo``
+  serializes the whole folded forward via ``jax.export`` — program +
+  weights in one file, symbolic batch, tpu+cpu lowerings — so the
+  serving fleet needs only jax, not fenet (``fenet.serve.artifact``;
+  auto-detected by ``fenet.cli.serve`` from the ``.stablehlo`` suffix).
 """
 
 from fenet.serve.batcher import MicroBatcher  # noqa: F401

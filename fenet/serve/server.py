@@ -94,7 +94,14 @@ def make_server(deploy_ckpt: str, host: str = "127.0.0.1", port: int = 8471,
     from fenet.serve.batcher import MicroBatcher
 
     if forward is None:
-        forward, meta = build_forward(deploy_ckpt, max_batch)
+        from fenet.serve.artifact import ARTIFACT_SUFFIX
+
+        if deploy_ckpt.endswith(ARTIFACT_SUFFIX):
+            from fenet.serve.artifact import build_forward_artifact
+
+            forward, meta = build_forward_artifact(deploy_ckpt, max_batch)
+        else:
+            forward, meta = build_forward(deploy_ckpt, max_batch)
         max_batch = meta["max_batch"]  # rounded up to the device count
     batcher = MicroBatcher(forward, max_batch=max_batch,
                            window_ms=window_ms)

@@ -370,3 +370,69 @@ def test_http_concurrent_requests_micro_batch(http_server):
     flat = [tuple(np.round(v[:2].ravel(), 4)) for v in results.values()]
     assert len(set(flat)) == len(flat)
     assert server.stats.snapshot()["served"] == before + 6
+
+
+def test_stablehlo_artifact_roundtrip_and_serves(tmp_path):
+    """--format stablehlo: the frozen jax.export artifact reproduces the
+    deploy-folded forward at multiple batch sizes (symbolic batch dim),
+    loads without fenet model code, and serves through make_server's
+    auto-detected artifact path."""
+    import jax.numpy as jnp
+
+    from fenet.cli.export_deploy import main as export_main
+    from fenet.models.generator import Generator, init_variables, to_deploy
+    from fenet.serve.artifact import load_artifact
+    from fenet.train.checkpoint import save_checkpoint
+
+    gen = Generator(num_points=256, backbone="RepVGG-TEST",
+                    fine_width=16, mid_width=8)
+    rng = np.random.RandomState(3)
+    variables = init_variables(
+        gen, rng.rand(1, 128, 128, 3).astype(np.float32))
+    save_checkpoint(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"], "epoch": 1},
+        True, "t", str(tmp_path), 1,
+    )
+    out = export_main([
+        "--model", str(tmp_path), "--backbone", "RepVGG-TEST",
+        "--num_points", "256", "--fine_width", "16", "--mid_width", "8",
+        "--format", "stablehlo", "--platforms", "cpu",
+        "--out", str(tmp_path / "deploy.stablehlo"),
+    ])
+    assert out.endswith(".stablehlo")
+    sidecar = json.load(open(out + ".json"))
+    assert sidecar["num_points"] == 256 and sidecar["format"] == "stablehlo"
+
+    call, meta = load_artifact(out)
+    assert meta["dtype"] == "float32"
+    dgen, dvars = to_deploy(
+        gen, {"params": variables["params"],
+              "batch_stats": variables["batch_stats"]})
+    for bs in (2, 5):  # two batch sizes through ONE exported program
+        img = rng.randint(0, 256, (bs, 128, 128, 3)).astype(np.uint8)
+        got = np.asarray(call(img))
+        _, _, ref = dgen.apply(dvars, jnp.asarray(img, jnp.float32),
+                               train=False)
+        assert got.shape == (bs, 256, 3)
+        np.testing.assert_allclose(got, np.asarray(ref),
+                                   rtol=1e-3, atol=1e-3)
+
+    # Serve straight from the artifact (auto-detected by suffix).
+    from fenet.serve.server import make_server
+
+    server = make_server(out, port=0, max_batch=4, window_ms=2.0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        base = f"http://127.0.0.1:{server.server_address[1]}"
+        resp = json.load(urllib.request.urlopen(
+            urllib.request.Request(base + "/predict",
+                                   data=_png_bytes(seed=9)),
+            timeout=120,
+        ))
+        pts = np.asarray(resp["points"], np.float32)
+        assert pts.shape == (256, 3) and np.all(np.isfinite(pts))
+    finally:
+        server.shutdown()
+        server.batcher.close()

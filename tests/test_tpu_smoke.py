@@ -2,7 +2,7 @@
 
 The CPU suite runs kernels in interpret mode, which skips Mosaic lowering —
 the gap that shipped the round-3 Sinkhorn g-layout bug. These tests run the
-same 9 production-shape checks through pytest when the suite targets real
+same production-shape checks (one per CHECKS entry) through pytest when the suite targets real
 hardware::
 
     FENET_TEST_PLATFORM=axon python -m pytest tests/test_tpu_smoke.py -v

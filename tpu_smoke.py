@@ -4,8 +4,9 @@ Covers exactly the kernels whose unit tests otherwise run interpret-mode on
 CPU (which skips Mosaic lowering — the check that caught the round-3
 Sinkhorn g-layout bug only at bench time): chamfer resident + streaming,
 EMD auction resident + streaming + epsilon-scaling, Sinkhorn resident +
-streaming, and the deploy-folded forward in fp32 + bf16, each at a
-production shape (batch >= 8).
+streaming, the deploy-folded forward in fp32 + bf16, and the frozen
+stablehlo serving artifact (jax.export), each at a production shape
+(batch >= 8).
 
 Usage::
 
@@ -279,6 +280,40 @@ def check_deploy_fold_bf16():
     return {"batch": 8, "rel_err": rel}
 
 
+def check_stablehlo_artifact():
+    """Frozen jax.export serving artifact (export_deploy --format
+    stablehlo): serialize the A2 deploy fold with a symbolic batch dim,
+    deserialize, execute ON THE CHIP, compare to the folded forward.
+    Covers the TPU lowering of the exported program — the one step the
+    CPU roundtrip test (tests/test_serve.py) cannot."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from fenet.models.generator import to_deploy
+    from fenet.serve.artifact import export_artifact, load_artifact
+
+    model, variables = _deploy_pair()
+    dep_model, dep_vars = to_deploy(model, variables)
+    with tempfile.TemporaryDirectory() as tmp:
+        out = os.path.join(tmp, "model.stablehlo")
+        meta = export_artifact(dep_model, dep_vars, out,
+                               platforms=("tpu",))
+        call, _ = load_artifact(out)
+        rng = np.random.RandomState(9)
+        img = rng.randint(0, 256, (8, 128, 128, 3)).astype(np.uint8)
+        got = _fetch(call(img))
+    _, _, ref = jax.jit(
+        lambda v, i: dep_model.apply(v, i, train=False)
+    )(dep_vars, jnp.asarray(img, jnp.float32))
+    ref = _fetch(ref)
+    rel = float(np.max(np.abs(got - ref)) / (np.max(np.abs(ref)) + 1e-9))
+    assert got.shape == (8, model.num_points, 3), got.shape
+    assert np.all(np.isfinite(got)) and rel < 1e-2, f"artifact rel {rel}"
+    return {"batch": 8, "rel_err": rel, "bytes": meta["bytes"]}
+
+
 CHECKS = [
     ("chamfer_resident", check_chamfer_resident),
     ("chamfer_streaming", check_chamfer_streaming),
@@ -289,6 +324,7 @@ CHECKS = [
     ("sinkhorn_streaming", check_sinkhorn_streaming),
     ("deploy_fold_fp32", check_deploy_fold_fp32),
     ("deploy_fold_bf16", check_deploy_fold_bf16),
+    ("stablehlo_artifact", check_stablehlo_artifact),
 ]
 
 
