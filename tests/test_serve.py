@@ -436,3 +436,39 @@ def test_stablehlo_artifact_roundtrip_and_serves(tmp_path):
     finally:
         server.shutdown()
         server.batcher.close()
+
+
+def test_stablehlo_artifact_bf16_weights_roundtrip(tmp_path):
+    """bf16 artifacts store weight leaves as uint16 bit patterns (numpy
+    cannot serialize ml_dtypes): the loader must reconstruct exact bf16
+    weights and the program must run them."""
+    import jax.numpy as jnp
+
+    from fenet.models.generator import Generator, init_variables, to_deploy
+    from fenet.serve.artifact import export_artifact, load_artifact
+
+    gen = Generator(num_points=256, backbone="RepVGG-TEST",
+                    fine_width=16, mid_width=8)
+    rng = np.random.RandomState(5)
+    variables = init_variables(
+        gen, rng.rand(1, 128, 128, 3).astype(np.float32))
+    dgen, dvars = to_deploy(
+        gen, {"params": variables["params"],
+              "batch_stats": variables["batch_stats"]},
+        dtype=jnp.bfloat16,
+    )
+    out = str(tmp_path / "m.stablehlo")
+    meta = export_artifact(dgen, dvars, out, platforms=("cpu",))
+    assert meta["dtype"] == "bfloat16"
+
+    call, side = load_artifact(out)
+    img = rng.randint(0, 256, (2, 128, 128, 3)).astype(np.uint8)
+    got = np.asarray(call(img)).astype(np.float32)
+    _, _, ref = dgen.apply(dvars, jnp.asarray(img, jnp.bfloat16),
+                           train=False)
+    ref = np.asarray(ref).astype(np.float32)
+    assert got.shape == (2, 256, 3) and np.all(np.isfinite(got))
+    # Exact bf16 weight reconstruction -> same-program outputs agree to
+    # bf16 resolution.
+    scale = np.max(np.abs(ref)) + 1e-9
+    assert np.max(np.abs(got - ref)) / scale < 2e-2
