@@ -92,7 +92,8 @@ def main(argv=None):
             os.path.dirname(path), "model_deploy" + ARTIFACT_SUFFIX)
         meta = export_artifact(
             deploy_gen, deploy_vars, out,
-            platforms=tuple(p for p in opt.platforms.split(",") if p),
+            platforms=tuple(p.strip() for p in opt.platforms.split(",")
+                            if p.strip()),
             extra_meta={"backbone": opt.backbone,
                         "fine_width": opt.fine_width,
                         "mid_width": opt.mid_width, "source": path},

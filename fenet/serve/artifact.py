@@ -121,6 +121,15 @@ def export_artifact(model, variables, out: str, *,
         "dtype": np.dtype(param_dtype).name,
         "platforms": list(platforms),
         "program_bytes": len(blob),
+        # Size accounting: the A2 artifact is ~698 MB because the model
+        # holds ~174M params (the decoder FC heads, not the backbone);
+        # file ~= weight_bytes + program_bytes + zip overhead, nothing
+        # stored twice (docs/OPERATIONS.md §1).
+        "weight_bytes": int(sum(
+            np.asarray(l).size * np.asarray(l).dtype.itemsize
+            for l in leaves
+        )),
+        "n_params": int(sum(np.asarray(l).size for l in leaves)),
         "bytes": os.path.getsize(out),
         "n_weights": len(leaves),
     }
@@ -142,8 +151,11 @@ def load_artifact(path: str):
     import jax
     import jax.export as jexport
 
-    with open(path, "rb") as f:
-        z = np.load(io.BytesIO(f.read()))
+    # np.load detects the zip container regardless of the non-.npz suffix
+    # and memory-maps members lazily — reading the whole file into a
+    # BytesIO first would transiently hold file bytes + decoded arrays
+    # (~1.4 GB peak for the fp32 A2 artifact) for no benefit.
+    z = np.load(path)
     exported = jexport.deserialize(z[_PROGRAM_KEY].tobytes())
     manifest = json.loads(z[_MANIFEST_KEY].tobytes().decode())
     weights = tuple(

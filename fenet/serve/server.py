@@ -97,12 +97,18 @@ def make_server(deploy_ckpt: str, host: str = "127.0.0.1", port: int = 8471,
         from fenet.serve.artifact import ARTIFACT_SUFFIX
 
         if deploy_ckpt.endswith(ARTIFACT_SUFFIX):
+            # SINGLE-DEVICE path: the frozen StableHLO program was exported
+            # without a mesh, so it runs on one chip regardless of host
+            # topology (max_batch passes through unrounded). Multi-chip
+            # serving hosts should use the flax deploy checkpoint, whose
+            # build_forward dp-shards the batch — see serve/__init__.py.
             from fenet.serve.artifact import build_forward_artifact
 
             forward, meta = build_forward_artifact(deploy_ckpt, max_batch)
         else:
             forward, meta = build_forward(deploy_ckpt, max_batch)
-        max_batch = meta["max_batch"]  # rounded up to the device count
+        # flax path: rounded up to the device count; artifact: unchanged.
+        max_batch = meta["max_batch"]
     batcher = MicroBatcher(forward, max_batch=max_batch,
                            window_ms=window_ms)
     stats = _Stats()
