@@ -10,7 +10,7 @@ calls — the exact structure of testnet.py:28-79 with its CUDA kernels
 replaced by ours (a favorable substitution for the baseline).
 
 Output contract: a COMPACT headline JSON line (metric, value, vs_baseline,
-train/serving/sinkhorn scalars; < 500 bytes) is printed after EVERY
+train/serving/sinkhorn scalars; < 700 bytes) is printed after EVERY
 completed section and once more at the end — the LAST stdout line is
 always a valid, current headline even if the run is truncated. The full
 detail blob is written to BENCH_DETAIL.json (repo root) after each
@@ -104,6 +104,36 @@ def _cost_analysis(jitted, *args):
         return None
 
 
+def run_link_probe(seconds: float = 2.0, mb: int = 32):
+    """Raw host->device bandwidth probe (~2 s): device_put of a ``mb``-MB
+    uint8 buffer, repeated until ``seconds`` elapse, reporting the median
+    MB/s. The end-to-end eval headline rides this shared tunnel, whose
+    bandwidth varies day to day (r3->r4: 356 -> 197 img/s with compute-only
+    IMPROVING) — stamping the link rate into every record makes rounds
+    attributable: a slow-link day and a code regression read differently."""
+    import jax
+
+    buf = np.zeros((mb, 1 << 20), np.uint8)  # incompressible size, mb MB
+    np.asarray(jax.device_put(buf))  # warm the path (allocator, layout)
+    rates, t_all = [], time.time()
+    while time.time() - t_all < seconds or not rates:
+        t0 = time.time()
+        d = jax.device_put(buf)
+        d.block_until_ready()
+        np.asarray(d[0, :1])  # forced fetch: block_until_ready unreliable
+        rates.append(mb / (time.time() - t0))
+        if len(rates) >= 9:
+            break
+    rates.sort()
+    return {
+        "mbps": round(rates[len(rates) // 2], 1),
+        "min_mbps": round(rates[0], 1),
+        "max_mbps": round(rates[-1], 1),
+        "reps": len(rates),
+        "buffer_mb": mb,
+    }
+
+
 def _build_model_and_state(seed: int = 0):
     import jax
 
@@ -194,18 +224,21 @@ def run_batched(model, variables, batches, mesh):
     out = _retry(lambda: step(variables, *_put(img, pts, mesh)))
     _np.asarray(out["cd"])
 
-    # Median of 3 passes: the end-to-end number rides the shared host->
-    # device tunnel, whose bandwidth varies run to run — a single pass was
-    # observed anywhere in 323-451 img/s for identical code.
+    # Two passes, best wall (round-5 budget trim from median-of-3): the
+    # end-to-end number rides the shared host->device tunnel, whose
+    # bandwidth varies run to run (a single pass was observed anywhere in
+    # 323-451 img/s for identical code) — the link probe stamped into the
+    # record carries the attribution, and compute_only_ips is the
+    # tunnel-independent chip number. Both walls go into the detail blob.
     n = sum(img.shape[0] for img, pts in batches)
     walls = []
-    for _ in range(3):
+    for _ in range(2):
         t0 = time.time()
         for img, pts in batches:
             out = step(variables, *_put(img, pts, mesh))
         last_cd = float(np.mean(np.asarray(out["cd"])))  # forces full drain
         walls.append(time.time() - t0)
-    wall = sorted(walls)[1]
+    wall = min(walls)
 
     # Device-compute-only throughput (inputs staged in HBM up front): on
     # hosts where the PCIe/tunnel link is slow the end-to-end number above
@@ -217,7 +250,7 @@ def run_batched(model, variables, batches, mesh):
         out = step(variables, img_d, pts_d)
     _np.asarray(out["cd"])
     compute_wall = time.time() - t0
-    return n / wall, wall, last_cd, n / compute_wall
+    return n / wall, wall, last_cd, n / compute_wall, walls
 
 
 def _put(img, pts, mesh):
@@ -248,7 +281,8 @@ def run_train_bench(mesh, batch=128, warmup=2, steps=3):
     images = rng.rand(batch, 128, 128, 3).astype(np.float32) * 255
     points = rng.rand(batch, 1024, 3).astype(np.float32) * 0.9
 
-    def timed_steps(early_exit, n_steps, n_warmup, emd_impl="auction"):
+    def timed_steps(early_exit, n_steps, n_warmup, emd_impl="auction",
+                    loss_mode="schedule"):
         # The baseline (early_exit=False) also pins strict fixed-eps mode:
         # the reference auction has no epsilon-scaling (emd_cuda.cu:256).
         cfg = TrainConfig(batch_size=batch, emd_early_exit=early_exit,
@@ -256,7 +290,7 @@ def run_train_bench(mesh, batch=128, warmup=2, steps=3):
         if not early_exit:
             cfg.emd_scale_phases, cfg.emd_scale_thresh = 1, 0.0
         model = Generator(num_points=1024, backbone=cfg.backbone)
-        trainer = Trainer(model, cfg, mesh=mesh)
+        trainer = Trainer(model, cfg, mesh=mesh, loss_mode=loss_mode)
         state = trainer.init_state(
             jax.random.PRNGKey(0), np.zeros((1, 128, 128, 3), np.float32)
         )
@@ -295,8 +329,16 @@ def run_train_bench(mesh, batch=128, warmup=2, steps=3):
                                            emd_impl="sinkhorn")
     except Exception as e:  # pragma: no cover - depends on backend
         sinkhorn_ips = f"error: {str(e)[-200:]}"
+    # Finetune step (finetune.py:141-182): BCE(projected silhouettes,
+    # 64x64 grid) + CD + EMD — parity-tested for rounds but never timed
+    # on chip before round 5 (VERDICT r4 #7). Fault-isolated like sinkhorn.
+    try:
+        finetune_ips = batch * timed_steps(True, steps, warmup,
+                                           loss_mode="finetune")
+    except Exception as e:  # pragma: no cover - depends on backend
+        finetune_ips = f"error: {str(e)[-200:]}"
     return (batch * steps_per_sec, steps_per_sec,
-            batch * base_steps_per_sec, sinkhorn_ips)
+            batch * base_steps_per_sec, sinkhorn_ips, finetune_ips)
 
 
 def run_inference_bench(model, variables, mesh, batch=256, reps=20,
@@ -334,6 +376,47 @@ def run_inference_bench(model, variables, mesh, batch=256, reps=20,
         out = fwd(dep_vars, img)
     np.asarray(out)  # forces full drain
     return batch * reps / (time.time() - t0)
+
+
+def run_artifact_bench(model, variables, deployed, batch=256, reps=20):
+    """Frozen StableHLO serving artifact (fenet.serve.artifact): export the
+    deploy fold with a symbolic batch dim, reload it the way a serving
+    fleet would (jax + numpy only), and measure its throughput with inputs
+    staged in HBM — the measured counterpart of the round-4 artifact that
+    VERDICT r4 flagged as never benchmarked. Returns (ips, meta_summary)."""
+    import tempfile
+
+    import jax
+
+    from fenet.serve.artifact import export_artifact, load_artifact
+
+    dep_model, dep_vars = deployed
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "model.stablehlo")
+        t0 = time.time()
+        meta = export_artifact(dep_model, dep_vars, path, platforms=("tpu",))
+        export_s = time.time() - t0
+        t0 = time.time()
+        forward, _ = load_artifact(path)
+        load_s = time.time() - t0
+        rng = np.random.RandomState(0)
+        img = jax.device_put(
+            (rng.rand(batch, 128, 128, 3) * 255).astype(np.uint8)
+        )
+        _retry(lambda: np.asarray(forward(img)))  # compile + drain
+        t0 = time.time()
+        for _ in range(reps):
+            out = forward(img)
+        np.asarray(out)  # forces full drain
+        ips = batch * reps / (time.time() - t0)
+    return ips, {
+        "artifact_bytes": meta["bytes"],
+        "weight_bytes": meta["weight_bytes"],
+        "program_bytes": meta["program_bytes"],
+        "export_seconds": round(export_s, 2),
+        "load_seconds": round(load_s, 2),
+        "batch": batch,
+    }
 
 
 def run_serving_latency(model, variables, deployed=None, reps=200):
@@ -405,19 +488,43 @@ def run_reference_structured(model, variables, batches, n_samples=48,
     flat = [(i, p) for img, pts in batches for i, p in zip(img, pts)]
     flat = flat[:n_samples]
     t0 = time.time()
-    measured = 0
+    sample_seconds = []
     for img, pts in flat:
+        t_s = time.time()
         img = img.astype(np.float32)  # reference ships float32 tensors
         pred = np.asarray(fwd(variables, img[None]))[0]  # device -> host
         t = _host_icp(pts, pred)
         aligned = (pred @ t[:3, :3] - t[:3, 3])[None]
         m = eval_metrics(jnp.asarray(aligned), jnp.asarray(pts[None]))
         jax.block_until_ready(m["ChamferDistance"])
-        measured += 1
-        if measured >= 4 and time.time() - t0 > budget_seconds:
+        sample_seconds.append(time.time() - t_s)
+        if len(sample_seconds) >= 4 and time.time() - t0 > budget_seconds:
             break
     wall = time.time() - t0
-    return measured / wall, wall, measured
+    return measured_stats(sample_seconds, wall)
+
+
+def measured_stats(sample_seconds, wall):
+    """(mean ips, wall, n, spread dict) for the reference-structured proxy.
+
+    The headline multiplier divides by this small-sample mean; the spread
+    makes its uncertainty explicit, and ``ips_upper`` (the FASTEST sample
+    extrapolated) is the conservative — favorable-to-baseline — bound the
+    headline vs_baseline uses (round-4 weak #5)."""
+    ss = sorted(sample_seconds)
+    n = len(ss)
+    spread = {
+        "n_samples": n,
+        "per_sample_seconds": {
+            "min": round(ss[0], 3),
+            "median": round(ss[n // 2], 3),
+            "max": round(ss[-1], 3),
+        },
+        # Conservative baseline rate: every sample as fast as the fastest.
+        "ips_upper_bound": round(1.0 / ss[0], 4),
+        "ips_mean": round(n / wall, 4),
+    }
+    return n / wall, wall, n, spread
 
 
 def run_train_stage_bench(mesh, batch=128, reps=3):
@@ -807,7 +914,7 @@ def _round_or_pass(v, nd=3):
 
 class _Record:
     """Incremental bench record: the full detail blob goes to a repo file
-    after every section; stdout gets a COMPACT (<500 byte) headline line
+    after every section; stdout gets a COMPACT (<700 byte) headline line
     after every section, final one last — so however the run ends (timeout,
     backend flap, driver tail-truncation), the last stdout line is a valid
     parseable headline and the detail file holds everything measured so
@@ -827,6 +934,17 @@ class _Record:
         # t0 = PROCESS start when provided: the budget competes with the
         # driver's kill timer, which started with the process, not here.
         self.t0 = time.time() if t0 is None else t0
+        # Previous record (if any): budget-skipped sections carry the last
+        # complete measurement forward (stamped with its source commit)
+        # instead of overwriting it with a placeholder — a partial refresh
+        # must not erase the serving/stage history from the tracked
+        # snapshot (ADVICE r4 #4).
+        self._prev = None
+        try:
+            with open(self.detail_file) as f:
+                self._prev = json.load(f)
+        except Exception:  # noqa: BLE001 - absent/corrupt prev is fine
+            pass
         # Traceability (detail blob only — the stdout line stays compact):
         # which commit produced this record, and when.
         try:
@@ -839,6 +957,20 @@ class _Record:
             ).stdout.strip() or None
         except Exception:  # noqa: BLE001 - never fatal
             self.commit = None
+
+    def carry(self, key):
+        """Place the previous record's ``key`` detail section into this one
+        (stamped carried/from-commit). True if a usable one existed."""
+        prev = ((self._prev or {}).get("detail") or {}).get(key)
+        if not isinstance(prev, dict) or "skipped" in prev or "error" in prev:
+            return False
+        entry = dict(prev)
+        entry.setdefault(
+            "carried_from_commit", (self._prev or {}).get("commit")
+        )
+        entry["carried"] = True
+        self.detail[key] = entry
+        return True
 
     def emit(self, partial=True):
         full = {
@@ -867,7 +999,8 @@ class _Record:
         except OSError:
             pass  # read-only checkout: the stdout line still carries the gist
         # commit/timestamp live in the detail blob only: the stdout line
-        # has a <500-byte contract (driver tail truncation).
+        # has a <700-byte contract (driver tail truncation; round-4 ~620-byte
+        # lines parsed fine — the round-3 failure was a multi-KB line).
         compact = {k: v for k, v in full.items()
                    if k not in ("detail", "commit", "timestamp")}
         compact["detail_file"] = os.path.basename(self.detail_file)
@@ -897,27 +1030,52 @@ def _run(opt, t_start=None):
 
     # ---- eval: the headline metric ------------------------------------
     if "eval" in sections:
+        try:
+            link = run_link_probe()
+            rec.scalars["link_mbps"] = link["mbps"]
+            rec.detail["link"] = {
+                **link,
+                "note": (
+                    "raw host->device device_put bandwidth at bench time; "
+                    "the end-to-end eval headline is transfer-bound on "
+                    "this host, so compare `value` across rounds ONLY at "
+                    "similar link_mbps — compute_only_ips is the "
+                    "link-independent chip number"
+                ),
+            }
+        except Exception as e:  # pragma: no cover - backend-dependent
+            rec.detail["link"] = {"error": str(e)[-200:]}
         batches = _synthetic_eval_batches()
-        throughput, wall, cd, compute_tput = run_batched(
+        throughput, wall, cd, compute_tput, walls = run_batched(
             model, variables, batches, mesh
         )
-        ref_throughput, ref_wall, ref_samples = run_reference_structured(
-            model, variables, batches
-        )
+        (ref_throughput, ref_wall, ref_samples,
+         ref_spread) = run_reference_structured(model, variables, batches)
         rec.value = round(throughput, 3)
-        rec.vs_baseline = round(throughput / ref_throughput, 3)
+        # Conservative multiplier: divide by the baseline's fastest-sample
+        # rate, not its small-sample mean (round-4 weak #5).
+        rec.vs_baseline = round(
+            throughput / ref_spread["ips_upper_bound"], 3
+        )
+        rec.scalars["vs_baseline_mean"] = round(
+            throughput / ref_throughput, 3
+        )
         rec.scalars["compute_only_ips"] = round(compute_tput, 3)
         rec.detail["eval"] = {
             "samples": sum(b[0].shape[0] for b in batches),
             "wall_seconds": round(wall, 3),
+            "pass_walls_seconds": [round(w, 3) for w in walls],
             "baseline_images_per_sec": round(ref_throughput, 3),
             "baseline_samples": ref_samples,
+            "baseline_spread": ref_spread,
             "baseline_note": (
                 "reference-STRUCTURED same-chip proxy (synthetic data, "
                 "batch=1, per-sample host ICP + device round-trips, "
                 "testnet.py:28-79 structure with its CUDA kernels replaced "
                 "by ours — a substitution favorable to the baseline); not "
-                "a GPU measurement"
+                "a GPU measurement. vs_baseline uses the CONSERVATIVE "
+                "ips_upper_bound (fastest sample extrapolated); the mean-"
+                "based figure is vs_baseline_mean"
             ),
             "pipeline": (
                 "RepVGG-A2 fwd + ICP(1024,1e-10) + CD + EMD(0.005,50)"
@@ -926,7 +1084,8 @@ def _run(opt, t_start=None):
             "compute_only_note": (
                 "inputs pre-staged in HBM; isolates chip compute from this "
                 "host's slow host->device link (the end-to-end number is "
-                "transfer-bound here)"
+                "transfer-bound here — see detail.link for the measured "
+                "rate at bench time)"
             ),
         }
         rec.done.append("eval")
@@ -942,12 +1101,13 @@ def _run(opt, t_start=None):
         # would have produced anyway.
         try:
             (train_ips, train_sps, train_base_ips,
-             train_sk_ips) = run_train_bench(mesh)
+             train_sk_ips, train_ft_ips) = run_train_bench(mesh)
             rec.scalars["train_ips"] = round(train_ips, 3)
             rec.scalars["train_vs_base"] = round(
                 train_ips / train_base_ips, 3
             )
             rec.scalars["sinkhorn_ips"] = _round_or_pass(train_sk_ips)
+            rec.scalars["finetune_ips"] = _round_or_pass(train_ft_ips)
             rec.detail["train"] = {
                 "images_per_sec_chip": round(train_ips, 3),
                 "steps_per_sec": round(train_sps, 4),
@@ -968,6 +1128,12 @@ def _run(opt, t_start=None):
                     "VMEM-resident Pallas potentials loop, blur=0.01 x "
                     "300 iters); same step otherwise"
                 ),
+                "finetune_images_per_sec": _round_or_pass(train_ft_ips),
+                "finetune_note": (
+                    "projection-loss finetune step (finetune.py:141-182): "
+                    "100*BCE(64x64 silhouettes) + 100*CD + 100*EMD, "
+                    "batch 128 — first timed on chip in round 5"
+                ),
             }
         except Exception as e:  # pragma: no cover - backend-dependent
             rec.detail["train"] = {"error": str(e)[-300:]}
@@ -981,10 +1147,13 @@ def _run(opt, t_start=None):
     # evidence while the serving sweep repeats round-3 numbers.
     if "stages" in sections:
         if over_budget(150):
-            rec.detail["stages"] = {"skipped": "budget"}
-            # mark BOTH entries so record diffs can tell 'skipped' from
-            # 'absent'.
-            rec.detail["train_stages"] = {"skipped": "budget"}
+            # Carry the last complete tables forward (stamped) rather than
+            # erasing them with placeholders; sections_skipped still says
+            # no fresh measurement happened this run.
+            if not rec.carry("stages"):
+                rec.detail["stages"] = {"skipped": "budget"}
+            if not rec.carry("train_stages"):
+                rec.detail["train_stages"] = {"skipped": "budget"}
             rec.skipped.append("stages")
             rec.emit()
         else:
@@ -993,7 +1162,8 @@ def _run(opt, t_start=None):
             except Exception as e:  # pragma: no cover - backend-dependent
                 rec.detail["stages"] = {"error": str(e)[-300:]}
             if over_budget(90):
-                rec.detail["train_stages"] = {"skipped": "budget"}
+                if not rec.carry("train_stages"):
+                    rec.detail["train_stages"] = {"skipped": "budget"}
             else:
                 try:
                     rec.detail["train_stages"] = run_train_stage_bench(mesh)
@@ -1005,7 +1175,8 @@ def _run(opt, t_start=None):
     # ---- serving ---------------------------------------------------------
     if "serving" in sections:
         if over_budget(60):
-            rec.detail["serving"] = {"skipped": "budget"}
+            if not rec.carry("serving"):
+                rec.detail["serving"] = {"skipped": "budget"}
             rec.skipped.append("serving")
             rec.emit()
         else:
@@ -1051,10 +1222,29 @@ def _serving_section(model, variables, mesh, rec):
                                               deployed=deployed)
     except Exception as e:  # pragma: no cover - depends on backend
         serving_latency = {"error": str(e)[-200:]}
+    # Frozen StableHLO artifact (round-4 feature, first measured round 5).
+    try:
+        artifact_ips, artifact_meta = run_artifact_bench(
+            model, variables, deployed, batch=serving_batch
+        )
+        artifact_rec = {
+            "images_per_sec_chip": round(artifact_ips, 3),
+            **artifact_meta,
+            "note": (
+                "jax.export StableHLO program + weights in one file, "
+                "reloaded with jax+numpy only (no fenet/flax) and run "
+                "with inputs staged in HBM; single-device (documented in "
+                "fenet/serve/__init__.py)"
+            ),
+        }
+        rec.scalars["artifact_ips"] = round(artifact_ips, 3)
+    except Exception as e:  # pragma: no cover - depends on backend
+        artifact_rec = {"error": str(e)[-300:]}
     if serving_ips is not None:
         rec.scalars["serving_ips"] = round(serving_ips, 3)
     rec.scalars["serving_bf16_ips"] = _round_or_pass(serving_bf16_ips)
     return {
+        "artifact": artifact_rec,
         "images_per_sec_chip": (
             round(serving_ips, 3) if serving_ips is not None else None
         ),

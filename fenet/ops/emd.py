@@ -31,6 +31,15 @@ The loop exits early once every point is assigned (the CUDA driver keeps
 launching no-op kernels instead, emd_cuda.cu:256). The Pallas kernel holds the
 (N, N) value matrix and all auction state in VMEM and streams row-chunks
 through the VPU, so per-iteration HBM traffic is zero.
+
+Shape contract: ONE deterministic code path for every N <= 8192 on TPU.
+Where the reference hard-errors on N % 1024 != 0 (emd_module.py:36-39), this
+op pads odd N into the kernel with provably inert points (see
+``_pad_to_chunk``): pad row k's unique best match is its own twin pad column
+(mutual distance 0, >=99 units from any real point), so the pad sub-auction
+commits fully in iteration 1 and real-row bids, prices, and assignments are
+those of the dense auction at the real N. The XLA fallback remains only for
+N > 8192 and non-TPU backends, with a loud once-per-shape warning.
 """
 
 from __future__ import annotations
@@ -54,6 +63,16 @@ _COORD_PAD = 8
 _MAX_N_IN_VMEM = 1024
 # Streaming-mode ceiling (chunk temporaries + per-point vectors in VMEM).
 _MAX_N_STREAMING = 8192
+# Pad-point placement for odd-N inputs (see _pad_to_chunk): pads sit on a
+# line x = _PAD_BASE + j (one unit apart) at y = z = _PAD_BASE. Chosen so
+# (a) pad<->pad squared distances (j-j')^2 are computed exactly enough in
+# fp32 via the aa + bb - 2ab contraction (coords <= ~355 keep the rounding
+# error ~1e-2, far below the unit spacing), and (b) pad<->real distances are
+# >= ~99 units for clouds within +/-20 of the origin (nominal data is in
+# [0,1]), putting pad bid values ~170 below any real bid even after long
+# price wars (price escalation is bounded by value range + n*eps ~ 55 at
+# train settings).
+_PAD_BASE = 100.0
 
 
 # ---------------------------------------------------------------------------
@@ -193,6 +212,7 @@ def _emd_kernel(
     cnt_ref,  # (n_chunks,) SMEM scratch i32: unassigned rows per chunk
     *,
     n: int,
+    n_real: int,
     eps: float,
     iters: int,
     store_value: bool = True,
@@ -251,7 +271,12 @@ def _emd_kernel(
                         keepdims=True),
             )
         hits = jnp.sum(com_col_ref[0:1, :].astype(jnp.float32))
-        run_scaling = hits < scale_thresh * n
+        # Padded runs: every pad column is exactly its own twin row's NN
+        # (value 3.0 vs <= 2.0 for neighbors) and no real row's NN is a pad
+        # column, so hits == hits_real + n_pad — subtract the pad count and
+        # threshold on the REAL N to keep the gate's semantics shape-
+        # independent.
+        run_scaling = hits - float(n - n_real) < scale_thresh * n_real
     else:
         run_scaling = None
 
@@ -410,6 +435,25 @@ def _emd_kernel(
     jax.lax.fori_loop(0, n_chunks, finalize, 0)
 
 
+def _pad_to_chunk(xyz: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Append inert far-away pad points to reach the kernel's row-chunk
+    multiple. Pad point j (same in both clouds) sits at
+    ``(_PAD_BASE + j, _PAD_BASE, _PAD_BASE)``: its unique best match is its
+    own twin (distance 0; nearest pad neighbor 1 unit, nearest real point
+    ~99+ units away), so all pads self-assign in auction iteration 1 and
+    never bid for — or lose — a real column. Real-row numerics are exactly
+    the dense auction's at the real N; outputs are sliced back."""
+    b, n_real, _ = xyz.shape
+    j = jnp.arange(n - n_real, dtype=jnp.float32)
+    pad = jnp.stack(
+        [_PAD_BASE + j, jnp.full_like(j, _PAD_BASE),
+         jnp.full_like(j, _PAD_BASE)], axis=-1,
+    )
+    return jnp.concatenate(
+        [xyz, jnp.broadcast_to(pad, (b, n - n_real, 3))], axis=1
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("eps", "iters", "scale_phases", "early_exit",
@@ -418,13 +462,18 @@ def _emd_kernel(
 def _emd_pallas(xyz1, xyz2, eps: float, iters: int, scale_phases: int = 1,
                 early_exit: bool = True, scale_thresh: float = 0.0,
                 interpret: bool = False):
-    b, n, _ = xyz1.shape
+    b, n_real, _ = xyz1.shape
+    n = -(-n_real // _CHUNK) * _CHUNK
+    if n != n_real:
+        xyz1 = _pad_to_chunk(xyz1, n)
+        xyz2 = _pad_to_chunk(xyz2, n)
     store_value = n <= _MAX_N_IN_VMEM
     x1 = jnp.pad(xyz1, ((0, 0), (0, 0), (0, _COORD_PAD - 3)))
     x2 = jnp.pad(xyz2, ((0, 0), (0, 0), (0, _COORD_PAD - 3)))
     dist, ass = pl.pallas_call(
         functools.partial(
-            _emd_kernel, n=n, eps=eps, iters=iters, store_value=store_value,
+            _emd_kernel, n=n, n_real=n_real, eps=eps, iters=iters,
+            store_value=store_value,
             scale_phases=scale_phases, early_exit=early_exit,
             scale_thresh=scale_thresh,
         ),
@@ -455,32 +504,32 @@ def _emd_pallas(xyz1, xyz2, eps: float, iters: int, scale_phases: int = 1,
         ],
         interpret=interpret,
     )(x1, x2)
-    return dist[..., 0], ass[..., 0]
+    return dist[:, :n_real, 0], ass[:, :n_real, 0]
 
 
 def _use_pallas(n: int) -> bool:
-    return (
-        jax.default_backend() == "tpu"
-        and n <= _MAX_N_STREAMING
-        and n % _CHUNK == 0
-    )
+    # Odd N is padded into the kernel (_pad_to_chunk): one deterministic
+    # code path for every N <= the streaming ceiling.
+    return jax.default_backend() == "tpu" and n <= _MAX_N_STREAMING
 
 
 _warned_fallback: set = set()
 
 
 def _warn_fallback_once(n: int) -> None:
-    """Eval numerics change silently with shape if the Pallas kernel declines
-    (n % 256 != 0 or n > 8192) — say so once per shape on a TPU backend."""
+    """Numerics change with implementation if the Pallas kernel declines
+    (n > 8192, the streaming-mode VMEM ceiling) — say so once per shape on
+    a TPU backend. (Odd N no longer falls back: it is padded in.)"""
     if n in _warned_fallback or jax.default_backend() != "tpu":
         return
     _warned_fallback.add(n)
     import logging
 
     logging.getLogger("fenet.ops.emd").warning(
-        "EMD Pallas kernel declined for N=%d (needs N %% %d == 0 and "
-        "N <= %d); falling back to the XLA reference auction.",
-        n, _CHUNK, _MAX_N_STREAMING,
+        "EMD Pallas kernel declined for N=%d (needs N <= %d); falling back "
+        "to the XLA reference auction (same algorithm, different "
+        "tie-breaking/iteration microstructure).",
+        n, _MAX_N_STREAMING,
     )
 
 

@@ -38,10 +38,11 @@ def test_synthetic_eval_batches_layout():
     assert 0.0 <= pts.min() and pts.max() < 0.9
 
 
-def test_record_compact_line_under_500_bytes(tmp_path, capsys):
+def test_record_compact_line_under_700_bytes(tmp_path, capsys):
     """The driver keeps only a stdout tail; every emitted headline line must
     be small, parseable, and self-contained (round-3 lesson: BENCH_r03
-    parsed: null because one giant line was truncated)."""
+    parsed: null because one giant line was truncated). Uses the FULL
+    round-5 scalar set."""
     import json
 
     bench = pytest.importorskip("bench")
@@ -50,14 +51,16 @@ def test_record_compact_line_under_500_bytes(tmp_path, capsys):
     rec.value = 356.123
     rec.vs_baseline = 123.456
     rec.scalars.update(
+        link_mbps=23.4, vs_baseline_mean=612.345,
         compute_only_ips=477.0, train_ips=132.5, train_vs_base=1.473,
-        sinkhorn_ips=1234.5, serving_ips=21123.4, serving_bf16_ips=27719.9,
+        sinkhorn_ips=1234.5, finetune_ips=118.234,
+        serving_ips=21123.4, serving_bf16_ips=27719.9, artifact_ips=20111.2,
     )
     rec.detail["eval"] = {"huge": "x" * 10000}  # goes to the file only
     rec.done = ["eval", "train", "serving", "stages"]
     rec.emit(partial=False)
     out = capsys.readouterr().out.strip().splitlines()[-1]
-    assert len(out.encode()) < 500, len(out.encode())
+    assert len(out.encode()) < 700, len(out.encode())
     parsed = json.loads(out)
     assert parsed["value"] == 356.123
     assert parsed["vs_baseline"] == 123.456
@@ -105,3 +108,42 @@ def test_record_partial_emission_sequence(tmp_path, capsys):
     assert parsed["partial"] is True
     assert parsed["sections_done"] == ["eval"]
     assert parsed["value"] == 300.0
+
+
+def test_record_carries_previous_complete_sections(tmp_path):
+    """A budget-skipped section must carry the last complete measurement
+    forward (stamped with its source commit) instead of erasing it with a
+    placeholder (ADVICE r4 #4)."""
+    import json
+
+    bench = pytest.importorskip("bench")
+    detail = tmp_path / "d.json"
+    detail.write_text(json.dumps({
+        "commit": "abc1234",
+        "detail": {
+            "serving": {"images_per_sec_chip": 21123.4, "batch": 512},
+            "stages": {"error": "backend flap"},
+            "train_stages": {"skipped": "budget"},
+        },
+    }))
+    rec = bench._Record(str(detail), ["eval", "serving", "stages"])
+    assert rec.carry("serving") is True
+    assert rec.detail["serving"]["images_per_sec_chip"] == 21123.4
+    assert rec.detail["serving"]["carried"] is True
+    assert rec.detail["serving"]["carried_from_commit"] == "abc1234"
+    # errored / skipped sections are NOT carried
+    assert rec.carry("stages") is False
+    assert rec.carry("train_stages") is False
+    assert rec.carry("absent") is False
+
+
+def test_measured_stats_spread_and_conservative_bound():
+    bench = pytest.importorskip("bench")
+    ips, wall, n, spread = bench.measured_stats([2.0, 1.0, 4.0], 7.0)
+    assert n == 3 and wall == 7.0
+    assert abs(ips - 3 / 7.0) < 1e-9
+    s = spread["per_sample_seconds"]
+    assert (s["min"], s["median"], s["max"]) == (1.0, 2.0, 4.0)
+    # conservative bound: every sample as fast as the fastest
+    assert spread["ips_upper_bound"] == 1.0
+    assert spread["ips_upper_bound"] >= spread["ips_mean"]

@@ -129,6 +129,34 @@ def check_emd_streaming():
     return _emd_validity(x, y, dist, ass, 0.005, "emd streaming")
 
 
+def check_emd_odd_n():
+    """Odd-N padding (round 5): N=1000 pads to 1024 inside the Pallas
+    kernel with inert far-away points — one deterministic code path where
+    the reference hard-errors (emd_module.py:36-39). Validity oracle plus
+    agreement with the XLA auction at the REAL N, and no real point may
+    ever be assigned a pad column."""
+    import jax.numpy as jnp
+
+    from fenet.ops.emd import earth_mover_distance, earth_mover_distance_ref
+
+    rng = np.random.RandomState(10)
+    n = 1000
+    x = jnp.asarray(rng.rand(8, n, 3).astype(np.float32) * 0.9)
+    y = jnp.asarray(rng.rand(8, n, 3).astype(np.float32) * 0.9)
+    dist, ass = earth_mover_distance(x, y, 0.005, 50)
+    _fetch(dist)
+    assert ass.shape == (8, n), ass.shape
+    amax = int(jnp.max(ass))
+    assert amax < n, f"real point assigned a pad column: {amax} >= {n}"
+    out = _emd_validity(x, y, dist, ass, 0.005, "emd odd n")
+    d_ref, _ = earth_mover_distance_ref(x, y, 0.005, 50)
+    m_pal, m_ref = float(jnp.mean(dist)), float(jnp.mean(d_ref))
+    rel = abs(m_pal - m_ref) / max(m_ref, 1e-9)
+    assert rel < 0.02, f"padded kernel vs XLA ref mean dist diverges: {rel}"
+    out["mean_vs_ref_rel"] = rel
+    return out
+
+
 def check_emd_scaling():
     import jax.numpy as jnp
 
@@ -319,6 +347,7 @@ CHECKS = [
     ("chamfer_streaming", check_chamfer_streaming),
     ("emd_resident", check_emd_resident),
     ("emd_streaming", check_emd_streaming),
+    ("emd_odd_n", check_emd_odd_n),
     ("emd_scaling", check_emd_scaling),
     ("sinkhorn_resident", check_sinkhorn_resident),
     ("sinkhorn_streaming", check_sinkhorn_streaming),
