@@ -5,6 +5,8 @@ The headline paths themselves run on the chip (driver + verify recipe)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.fast  # core tier: `pytest -m fast` (<5 min warm)
+
 
 def test_host_icp_aligns_rotated_cloud():
     """bench._host_icp reimplements the reference algorithm

@@ -16,6 +16,8 @@ from fenet.ops.chamfer import (
     chamfer_distance_ref,
 )
 
+pytestmark = pytest.mark.fast  # core tier: `pytest -m fast` (<5 min warm)
+
 
 def _numpy_chamfer(a, b):
     d = ((a[:, :, None, :] - b[:, None, :, :]) ** 2).sum(-1)  # (B,N,M)

@@ -10,6 +10,10 @@ import numpy as np
 
 from fenet.models.generator import Generator, fold_generator_params
 
+import pytest
+
+pytestmark = pytest.mark.fast  # core tier: `pytest -m fast` (<5 min warm)
+
 
 def test_generator_deploy_fold_equivalence():
     rng = np.random.RandomState(0)

@@ -16,6 +16,10 @@ from fenet.ops.emd import (
     earth_mover_distance_ref,
 )
 
+import pytest
+
+pytestmark = pytest.mark.fast  # core tier: `pytest -m fast` (<5 min warm)
+
 
 def _make_clouds(b, n, seed=0):
     rng = np.random.RandomState(seed)

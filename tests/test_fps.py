@@ -5,6 +5,10 @@ import numpy as np
 
 from fenet.ops.fps import farthest_point_sample, index_points
 
+import pytest
+
+pytestmark = pytest.mark.fast  # core tier: `pytest -m fast` (<5 min warm)
+
 
 def _numpy_fps(xyz, npoint, start):
     n = xyz.shape[0]

@@ -9,6 +9,10 @@ from fenet.losses.facade import Loss, chamfer_loss, emd_loss, scheduled_total_lo
 from fenet.losses.fscore import fscore
 from fenet.losses.projection import get_loss_proj, grid_dist
 
+import pytest
+
+pytestmark = pytest.mark.fast  # core tier: `pytest -m fast` (<5 min warm)
+
 
 def _clouds(seed=0, b=2, n=128):
     rng = np.random.RandomState(seed)

@@ -190,6 +190,7 @@ def test_repvgg_block_matches_torch():
     )
 
 
+@pytest.mark.fast
 def test_full_backbone_fold_equivalence():
     """Fold the whole RepVGG-A0 backbone and compare logits."""
     rng = np.random.RandomState(0)

@@ -230,6 +230,7 @@ def test_eval_icp_stall_patience_lossless_on_trained_model(trained):
         )
 
 
+@pytest.mark.fast
 def test_train_step_full_8dev_mesh():
     """One step over all 8 fake devices: per-shard batch 1, pmean'd grads.
     With lr=0 the losses must match a 2-device run of the same batch

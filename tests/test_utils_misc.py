@@ -11,6 +11,10 @@ from fenet.geometry.camera import (
 from fenet.utils.average_meter import AverageMeter
 from fenet.utils.ply import export_pointcloud, load_pointcloud
 
+import pytest
+
+pytestmark = pytest.mark.fast  # core tier: `pytest -m fast` (<5 min warm)
+
 
 def test_blender_projection_shapes_and_reprojection():
     k, rt = get_blender_proj(az=30.0, el=25.0, distance_ratio=0.7)
