@@ -34,6 +34,29 @@ import numpy as np
 _PEAK_BF16_TFLOPS = float(os.environ.get("FENET_PEAK_BF16_TFLOPS", "197"))
 _PEAK_HBM_GBPS = float(os.environ.get("FENET_PEAK_HBM_GBPS", "819"))
 
+# Wall-clock attribution: every coarse phase of the run stamps its seconds
+# here, and the record carries the table (detail.phase_seconds). Round-5
+# motivation: a fully warm 2-section run still took ~760 s while the
+# measured eval passes were 1.3 s each — the budget is spent on overhead
+# (backend probe/init, compiles, baselines), and without this table the
+# record can't say where, so section sizing is guesswork.
+_PHASES = {}
+
+
+class _phase:
+    def __init__(self, name):
+        self.name = name
+
+    def __enter__(self):
+        self.t0 = time.time()
+        return self
+
+    def __exit__(self, *exc):
+        _PHASES[self.name] = round(
+            _PHASES.get(self.name, 0.0) + time.time() - self.t0, 1
+        )
+        return False
+
 
 def _probe_backend(attempts=3, timeout=150.0, wait=30.0):
     """Probe TPU backend init in a subprocess with bounded retries.
@@ -220,9 +243,10 @@ def run_batched(model, variables, batches, mesh):
     step, mesh = make_eval_step(model, mesh=mesh)
     # Warm-up / compile on the first batch shape (forced fetch: on this
     # platform block_until_ready can return before execution finishes).
-    img, pts = batches[0]
-    out = _retry(lambda: step(variables, *_put(img, pts, mesh)))
-    _np.asarray(out["cd"])
+    with _phase("eval_warmup_compile"):
+        img, pts = batches[0]
+        out = _retry(lambda: step(variables, *_put(img, pts, mesh)))
+        _np.asarray(out["cd"])
 
     # Two passes, best wall (round-5 budget trim from median-of-3): the
     # end-to-end number rides the shared host->device tunnel, whose
@@ -232,24 +256,27 @@ def run_batched(model, variables, batches, mesh):
     # tunnel-independent chip number. Both walls go into the detail blob.
     n = sum(img.shape[0] for img, pts in batches)
     walls = []
-    for _ in range(2):
-        t0 = time.time()
-        for img, pts in batches:
-            out = step(variables, *_put(img, pts, mesh))
-        last_cd = float(np.mean(np.asarray(out["cd"])))  # forces full drain
-        walls.append(time.time() - t0)
+    with _phase("eval_passes"):
+        for _ in range(2):
+            t0 = time.time()
+            for img, pts in batches:
+                out = step(variables, *_put(img, pts, mesh))
+            # forces full drain
+            last_cd = float(np.mean(np.asarray(out["cd"])))
+            walls.append(time.time() - t0)
     wall = min(walls)
 
     # Device-compute-only throughput (inputs staged in HBM up front): on
     # hosts where the PCIe/tunnel link is slow the end-to-end number above
     # is transfer-bound, and this isolates what the chip itself sustains.
-    staged = [_put(img, pts, mesh) for img, pts in batches]
-    _np.asarray(staged[-1][0][0])
-    t0 = time.time()
-    for img_d, pts_d in staged:
-        out = step(variables, img_d, pts_d)
-    _np.asarray(out["cd"])
-    compute_wall = time.time() - t0
+    with _phase("eval_compute_only"):
+        staged = [_put(img, pts, mesh) for img, pts in batches]
+        _np.asarray(staged[-1][0][0])
+        t0 = time.time()
+        for img_d, pts_d in staged:
+            out = step(variables, img_d, pts_d)
+        _np.asarray(out["cd"])
+        compute_wall = time.time() - t0
     return n / wall, wall, last_cd, n / compute_wall, walls
 
 
@@ -315,26 +342,30 @@ def run_train_bench(mesh, batch=128, warmup=2, steps=3):
         wall = time.time() - t0
         return n_steps / wall
 
-    steps_per_sec = timed_steps(True, steps, warmup)
+    with _phase("train_strict"):
+        steps_per_sec = timed_steps(True, steps, warmup)
     # Same warmup count as the main measurement: the auction's cost depends
     # strongly on the training state (how far predictions sit from the
     # targets), so both sides must be timed from the same step index.
-    base_steps_per_sec = timed_steps(False, 1, warmup)
+    with _phase("train_baseline"):
+        base_steps_per_sec = timed_steps(False, 1, warmup)
     # The opt-in annealed-Sinkhorn EMD (--emd_impl sinkhorn, VMEM-resident
     # Pallas potentials loop): fixed cost regardless of training state.
     # Fault-isolated: an optional-section failure (e.g. a Mosaic lowering
     # this kernel has not met yet) must not cost the headline capture.
     try:
-        sinkhorn_ips = batch * timed_steps(True, steps, warmup,
-                                           emd_impl="sinkhorn")
+        with _phase("train_sinkhorn"):
+            sinkhorn_ips = batch * timed_steps(True, steps, warmup,
+                                               emd_impl="sinkhorn")
     except Exception as e:  # pragma: no cover - depends on backend
         sinkhorn_ips = f"error: {str(e)[-200:]}"
     # Finetune step (finetune.py:141-182): BCE(projected silhouettes,
     # 64x64 grid) + CD + EMD — parity-tested for rounds but never timed
     # on chip before round 5 (VERDICT r4 #7). Fault-isolated like sinkhorn.
     try:
-        finetune_ips = batch * timed_steps(True, steps, warmup,
-                                           loss_mode="finetune")
+        with _phase("train_finetune"):
+            finetune_ips = batch * timed_steps(True, steps, warmup,
+                                               loss_mode="finetune")
     except Exception as e:  # pragma: no cover - depends on backend
         finetune_ips = f"error: {str(e)[-200:]}"
     return (batch * steps_per_sec, steps_per_sec,
@@ -882,7 +913,8 @@ def main(argv=None):
     metric = "eval_stage_breakdown" if opt.stages \
         else "shapenet_13cat_eval_throughput"
     if not opt.no_probe:
-        status, msg = _probe_backend()
+        with _phase("backend_probe"):
+            status, msg = _probe_backend()
         if status == "outage":
             # Outage, not regression: record it as parseable JSON so the
             # round log distinguishes a down platform from a broken bench.
@@ -990,7 +1022,7 @@ class _Record:
             "partial": partial or bool(self.skipped),
             "elapsed_seconds": round(time.time() - self.t0, 1),
             **self.scalars,
-            "detail": self.detail,
+            "detail": {**self.detail, "phase_seconds": dict(_PHASES)},
         }
         try:
             with open(self.detail_file, "w") as f:
@@ -1013,7 +1045,10 @@ def _run(opt, t_start=None):
     enable()  # big fused steps compile once per machine
     from fenet.parallel.mesh import make_mesh
 
-    model, variables = _build_model_and_state()
+    if t_start is not None:  # probe + imports + backend init so far
+        _PHASES["startup"] = round(time.time() - t_start, 1)
+    with _phase("model_build"):
+        model, variables = _build_model_and_state()
     if opt.stages:
         print(json.dumps(
             {"metric": "eval_stage_breakdown",
@@ -1031,7 +1066,8 @@ def _run(opt, t_start=None):
     # ---- eval: the headline metric ------------------------------------
     if "eval" in sections:
         try:
-            link = run_link_probe()
+            with _phase("link_probe"):
+                link = run_link_probe()
             rec.scalars["link_mbps"] = link["mbps"]
             rec.detail["link"] = {
                 **link,
@@ -1049,8 +1085,10 @@ def _run(opt, t_start=None):
         throughput, wall, cd, compute_tput, walls = run_batched(
             model, variables, batches, mesh
         )
-        (ref_throughput, ref_wall, ref_samples,
-         ref_spread) = run_reference_structured(model, variables, batches)
+        with _phase("eval_baseline"):
+            (ref_throughput, ref_wall, ref_samples,
+             ref_spread) = run_reference_structured(model, variables,
+                                                    batches)
         rec.value = round(throughput, 3)
         # Conservative multiplier: divide by the baseline's fastest-sample
         # rate, not its small-sample mean (round-4 weak #5).
@@ -1158,7 +1196,8 @@ def _run(opt, t_start=None):
             rec.emit()
         else:
             try:
-                rec.detail["stages"] = run_stage_bench(model, variables)
+                with _phase("stages_eval"):
+                    rec.detail["stages"] = run_stage_bench(model, variables)
             except Exception as e:  # pragma: no cover - backend-dependent
                 rec.detail["stages"] = {"error": str(e)[-300:]}
             if over_budget(90):
@@ -1166,7 +1205,9 @@ def _run(opt, t_start=None):
                     rec.detail["train_stages"] = {"skipped": "budget"}
             else:
                 try:
-                    rec.detail["train_stages"] = run_train_stage_bench(mesh)
+                    with _phase("stages_train"):
+                        rec.detail["train_stages"] = run_train_stage_bench(
+                            mesh)
                 except Exception as e:  # pragma: no cover
                     rec.detail["train_stages"] = {"error": str(e)[-300:]}
             rec.done.append("stages")
@@ -1181,9 +1222,10 @@ def _run(opt, t_start=None):
             rec.emit()
         else:
             try:
-                rec.detail["serving"] = _serving_section(
-                    model, variables, mesh, rec
-                )
+                with _phase("serving"):
+                    rec.detail["serving"] = _serving_section(
+                        model, variables, mesh, rec
+                    )
             except Exception as e:  # pragma: no cover - backend-dependent
                 rec.detail["serving"] = {"error": str(e)[-300:]}
             rec.done.append("serving")

@@ -26,10 +26,10 @@ Design (TPU-first):
   weights in one file, symbolic batch, tpu+cpu lowerings — so the
   serving fleet needs only jax, not fenet (``fenet.serve.artifact``;
   auto-detected by ``fenet.cli.serve`` from the ``.stablehlo`` suffix).
-  The artifact program is exported without a mesh and therefore serves
-  on ONE chip; multi-chip hosts that want dp-sharded serving should
-  deploy the flax checkpoint path (``build_forward``), which shards the
-  batch over every local device.
+  The program is exported for ONE device; on multi-chip hosts the
+  loader replays it per shard under ``shard_map`` (weights replicated,
+  batch split), so artifact serving dp-shards over every local device
+  just like the flax checkpoint path (``build_forward``).
 """
 
 from fenet.serve.batcher import MicroBatcher  # noqa: F401

@@ -140,14 +140,21 @@ def export_artifact(model, variables, out: str, *,
     return meta
 
 
-def load_artifact(path: str):
+def load_artifact(path: str, mesh=None):
     """(forward, meta) from a serialized artifact.
 
     ``forward`` takes a ``(b, H, W, 3)`` uint8 numpy/jax array and returns
     the ``(b, num_points, 3)`` cloud — jitted, weights device_put once at
     load, so each distinct batch size compiles once (serving uses one
     fixed batch; see serve.batcher). Needs only jax + numpy — no fenet
-    model code, no flax, no checkpoint."""
+    model code, no flax, no checkpoint.
+
+    ``mesh``: an optional 1-D ``jax.sharding.Mesh``. The exported program
+    was lowered for ONE device; with a multi-device mesh it is replayed
+    per shard under ``shard_map`` — weights replicated, batch axis split —
+    so one artifact data-parallel-serves a whole host without
+    re-exporting. Batch size must then divide the mesh (the server rounds
+    ``max_batch`` up; see :func:`build_forward_artifact`)."""
     import jax
     import jax.export as jexport
 
@@ -158,13 +165,44 @@ def load_artifact(path: str):
     z = np.load(path)
     exported = jexport.deserialize(z[_PROGRAM_KEY].tobytes())
     manifest = json.loads(z[_MANIFEST_KEY].tobytes().decode())
-    weights = tuple(
-        jax.device_put(_from_numpy(z[_LEAF_FMT.format(i)], dt))
+    host_weights = [
+        _from_numpy(z[_LEAF_FMT.format(i)], dt)
         for i, dt in enumerate(manifest["leaf_dtypes"])
-    )
-    call = jax.jit(exported.call)
+    ]
+    if mesh is not None and int(mesh.devices.size) > 1:
+        from jax.sharding import PartitionSpec as P
+
+        from fenet.parallel.mesh import (
+            batch_sharding, collective_compiler_options, replicate,
+        )
+
+        try:  # moved out of experimental in recent jax
+            from jax import shard_map as _shard_map
+        except ImportError:  # pragma: no cover
+            from jax.experimental.shard_map import shard_map as _shard_map
+
+        rep = replicate(mesh)
+        weights = tuple(jax.device_put(w, rep) for w in host_weights)
+        axis = mesh.axis_names[0]
+        body = _shard_map(
+            lambda w, images: exported.call(w, images),
+            mesh=mesh,
+            in_specs=(P(), P(axis)),  # weights replicated, batch split
+            out_specs=P(axis),
+            check_vma=False,
+        )
+        call = jax.jit(
+            body, compiler_options=collective_compiler_options(mesh)
+        )
+        in_sharding = batch_sharding(mesh)
+    else:
+        weights = tuple(jax.device_put(w) for w in host_weights)
+        call = jax.jit(exported.call)
+        in_sharding = None
 
     def forward(images):
+        if in_sharding is not None and not hasattr(images, "sharding"):
+            images = jax.device_put(np.asarray(images), in_sharding)
         return call(weights, images)
 
     meta = {}
@@ -175,21 +213,33 @@ def load_artifact(path: str):
     return forward, meta
 
 
-def build_forward_artifact(path: str, max_batch: int):
+def build_forward_artifact(path: str, max_batch: int, mesh=None):
     """(forward, meta) in the fenet.serve.server.build_forward contract,
     backed by a frozen artifact instead of a flax checkpoint: single
     compiled program, inputs staged via device_put (async dispatch — the
     MicroBatcher fetches results only after the next batch is dispatched,
-    keeping the depth-1 pipeline)."""
+    keeping the depth-1 pipeline). Like the flax path, the batch is
+    dp-sharded over the host's device mesh (``max_batch`` rounded up to
+    the device count) — the single-device exported program is replayed
+    per shard; see :func:`load_artifact`."""
     import jax
 
-    call, meta = load_artifact(path)
+    from fenet.parallel.mesh import batch_sharding, make_mesh
+
+    if mesh is None:
+        mesh = make_mesh()
+    n_dev = int(mesh.devices.size)
+    call, meta = load_artifact(path, mesh=mesh if n_dev > 1 else None)
+    max_batch = -(-max_batch // n_dev) * n_dev
+    sharding = batch_sharding(mesh) if n_dev > 1 else None
 
     def forward(images: np.ndarray):
-        return call(jax.device_put(np.ascontiguousarray(
-            images.astype(np.uint8))))
+        staged = np.ascontiguousarray(images.astype(np.uint8))
+        return call(jax.device_put(staged, sharding) if sharding is not None
+                    else jax.device_put(staged))
 
     meta = dict(meta)
     meta["max_batch"] = int(max_batch)
+    meta["devices"] = n_dev
     meta["artifact"] = os.path.basename(path)
     return forward, meta

@@ -97,18 +97,16 @@ def make_server(deploy_ckpt: str, host: str = "127.0.0.1", port: int = 8471,
         from fenet.serve.artifact import ARTIFACT_SUFFIX
 
         if deploy_ckpt.endswith(ARTIFACT_SUFFIX):
-            # SINGLE-DEVICE path: the frozen StableHLO program was exported
-            # without a mesh, so it runs on one chip regardless of host
-            # topology (max_batch passes through unrounded). Multi-chip
-            # serving hosts should use the flax deploy checkpoint, whose
-            # build_forward dp-shards the batch — see serve/__init__.py.
+            # The frozen StableHLO program was exported for ONE device;
+            # build_forward_artifact replays it per shard under shard_map
+            # on multi-device hosts (weights replicated, batch split), so
+            # both branches dp-shard and both round max_batch up.
             from fenet.serve.artifact import build_forward_artifact
 
             forward, meta = build_forward_artifact(deploy_ckpt, max_batch)
         else:
             forward, meta = build_forward(deploy_ckpt, max_batch)
-        # flax path: rounded up to the device count; artifact: unchanged.
-        max_batch = meta["max_batch"]
+        max_batch = meta["max_batch"]  # rounded up to the device count
     batcher = MicroBatcher(forward, max_batch=max_batch,
                            window_ms=window_ms)
     stats = _Stats()

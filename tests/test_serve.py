@@ -472,3 +472,51 @@ def test_stablehlo_artifact_bf16_weights_roundtrip(tmp_path):
     # bf16 resolution.
     scale = np.max(np.abs(ref)) + 1e-9
     assert np.max(np.abs(got - ref)) / scale < 2e-2
+
+
+def test_stablehlo_artifact_multidevice_serving(tmp_path):
+    """load_artifact(mesh=...): the single-device exported program replayed
+    per shard under shard_map (weights replicated, batch split) matches the
+    single-device replay exactly, and build_forward_artifact rounds
+    max_batch up to the device count (ADVICE r4 #1: artifact serving must
+    not silently run at 1/n throughput on a multi-chip host)."""
+    import jax
+
+    from fenet.models.generator import Generator, init_variables, to_deploy
+    from fenet.parallel.mesh import make_mesh
+    from fenet.serve.artifact import (
+        build_forward_artifact, export_artifact, load_artifact,
+    )
+
+    gen = Generator(num_points=256, backbone="RepVGG-TEST",
+                    fine_width=16, mid_width=8)
+    rng = np.random.RandomState(7)
+    variables = init_variables(
+        gen, rng.rand(1, 128, 128, 3).astype(np.float32))
+    dgen, dvars = to_deploy(
+        gen, {"params": variables["params"],
+              "batch_stats": variables["batch_stats"]})
+    out = str(tmp_path / "m.stablehlo")
+    export_artifact(dgen, dvars, out, platforms=("cpu",))
+
+    mesh = make_mesh(4)
+    single, _ = load_artifact(out)
+    multi, _ = load_artifact(out, mesh=mesh)
+    img = rng.randint(0, 256, (8, 128, 128, 3)).astype(np.uint8)
+    got_multi = np.asarray(multi(img))
+    got_single = np.asarray(single(img))
+    assert got_multi.shape == (8, 256, 3)
+    # Same program, same weights; per-shard replay recompiles at the shard
+    # batch shape so fusion order can differ by ulps.
+    scale = np.max(np.abs(got_single)) + 1e-9
+    assert np.max(np.abs(got_multi - got_single)) / scale < 1e-5
+    # The jitted call really is batch-sharded over the mesh.
+    sharded = multi(jax.device_put(
+        img, jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("batch"))))
+    assert len(sharded.sharding.device_set) == 4
+
+    fwd, meta = build_forward_artifact(out, max_batch=6, mesh=mesh)
+    assert meta["max_batch"] == 8 and meta["devices"] == 4  # rounded up
+    got = np.asarray(fwd(img))
+    assert np.max(np.abs(got - got_single)) / scale < 1e-5
