@@ -65,9 +65,20 @@ def get_loss_proj(
     elif loss_type == "weighted_bce":
         loss = _bce_logits(pred, gt)
     elif loss_type == "bce_prob":
+        # The gaussian-splat silhouette is a SUM of kernels, not a
+        # probability: cells under overlapping points exceed 1, so
+        # |1 - pred - eps| crosses 0 and the log's gradient is unbounded
+        # at pred = 1 - eps. Harmless in the reference, which detaches the
+        # projection (utils/utils.py:199,209 — no gradient ever flows);
+        # fatal here, where the finetune step differentiates through it
+        # (one step from a saturated silhouette emitted inf grads -> NaN
+        # params, measured on chip round 5). Flooring the log argument
+        # changes the value only inside the measure-zero band where the
+        # reference's own value is ±inf, and zeroes the gradient there.
         epsilon = 1e-8
+        floor = 1e-7
         loss = -gt * jnp.log(pred + epsilon) * w - (1 - gt) * jnp.log(
-            jnp.abs(1 - pred - epsilon)
+            jnp.maximum(jnp.abs(1 - pred - epsilon), floor)
         )
     else:
         raise ValueError(f"unknown loss_type {loss_type!r}")

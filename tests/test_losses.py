@@ -79,6 +79,32 @@ def test_bce_prob_matches_reference_formula():
     np.testing.assert_allclose(float(got), ref, rtol=1e-5)
 
 
+def test_bce_prob_saturated_silhouette_grad_bounded():
+    """Regression (round 5): the splat silhouette is a SUM of gaussians, so
+    cells cross the log|1-p-eps| singularity at p = 1 - 1e-8. Unguarded,
+    the finetune step's gradient went inf -> NaN params after one step
+    (measured on chip: 24.8 img/s of NaN auctions vs 125 fixed). The loss
+    must stay finite and its gradient bounded exactly AT the singularity
+    and across the saturated range."""
+    vals = np.array([[[0.0, 0.5, 1.0 - 1e-8],
+                      [1.0, 1.5, 5.1]]], np.float32)  # (1, 2, 3) grid
+    gt = np.zeros_like(vals)  # (1-gt) weight hits the singular log term
+
+    def loss(p):
+        out, _, _ = get_loss_proj(p, jnp.asarray(gt), "bce_prob")
+        return out
+
+    v, g = jax.value_and_grad(loss)(jnp.asarray(vals))
+    assert np.isfinite(float(v))
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert np.max(np.abs(np.asarray(g))) <= 1e7 + 1.0  # 1/floor bound
+    # Away from the floor band the guarded value equals the reference's.
+    eps = 1e-8
+    ref = (-gt * np.log(vals + eps)
+           - (1 - gt) * np.log(np.maximum(np.abs(1 - vals - eps), 1e-7)))
+    np.testing.assert_allclose(float(v), ref.mean(), rtol=1e-5)
+
+
 def test_eval_metrics_and_registry():
     pred, gt = _clouds(5)
     vals = eval_metrics(pred, gt)

@@ -64,9 +64,10 @@ def _project_silhouette(p, grid_h, grid_w, sigma_sq):
 
 def _bce_prob(pred, gt, w=1.0, epsilon=1e-8):
     """losses/projection.py bce_prob (the proj_loss.py:17-19 variant with
-    the conventional argument order)."""
+    the conventional argument order), incl. its 1e-7 floor on the second
+    log argument — the singularity guard for saturated splat cells."""
     loss = -gt * torch.log(pred + epsilon) * w - (1 - gt) * torch.log(
-        (1 - pred - epsilon).abs()
+        (1 - pred - epsilon).abs().clamp(min=1e-7)
     )
     return loss.mean()
 
