@@ -1170,7 +1170,9 @@ def _run(opt, t_start=None):
                 "finetune_note": (
                     "projection-loss finetune step (finetune.py:141-182): "
                     "100*BCE(64x64 silhouettes) + 100*CD + 100*EMD, "
-                    "batch 128 — first timed on chip in round 5"
+                    "batch 128; post bce_prob singularity fix (a NaN'd "
+                    "step previously measured 24.9 — every auction ran "
+                    "the full 3000-iter cap on NaN coordinates)"
                 ),
             }
         except Exception as e:  # pragma: no cover - backend-dependent
