@@ -137,7 +137,12 @@ def run_link_probe(seconds: float = 2.0, mb: int = 32):
     import jax
 
     buf = np.zeros((mb, 1 << 20), np.uint8)  # incompressible size, mb MB
-    np.asarray(jax.device_put(buf))  # warm the path (allocator, layout)
+    # Warm the path (allocator, layout) with a TINY fetch — the full-array
+    # np.asarray readback rides the ~6 MB/s device->host direction for no
+    # benefit. (The 86-525 s once attributed to this phase was the
+    # per-process first-sync session establishment, now paid in the named
+    # first_sync phase before any section runs.)
+    np.asarray(jax.device_put(buf)[0, :1])
     rates, t_all = [], time.time()
     while time.time() - t_all < seconds or not rates:
         t0 = time.time()
@@ -148,12 +153,22 @@ def run_link_probe(seconds: float = 2.0, mb: int = 32):
         if len(rates) >= 9:
             break
     rates.sort()
+    # Device->host direction, measured separately (1 MB): the eval
+    # pipeline's prediction readback rides it, and on this tunnel it is
+    # ~100x slower than upload — worth stamping so readback-bound phases
+    # are attributable too.
+    small = jax.device_put(np.zeros((1 << 20,), np.uint8))
+    np.asarray(small[:1])  # materialize before timing
+    t0 = time.time()
+    np.asarray(small)
+    readback_mbps = 1.0 / max(time.time() - t0, 1e-9)
     return {
         "mbps": round(rates[len(rates) // 2], 1),
         "min_mbps": round(rates[0], 1),
         "max_mbps": round(rates[-1], 1),
         "reps": len(rates),
         "buffer_mb": mb,
+        "readback_mbps": round(readback_mbps, 2),
     }
 
 
@@ -1047,6 +1062,17 @@ def _run(opt, t_start=None):
 
     if t_start is not None:  # probe + imports + backend init so far
         _PHASES["startup"] = round(time.time() - t_start, 1)
+    # Pay the per-process remote-executor session establishment HERE, in a
+    # named phase: the first synchronized fetch in a fresh process costs
+    # 86-525 s on this platform (measured round 5 — NOT compile: it happens
+    # with the persistent compile cache warm and identical shapes, and
+    # varies with time of day). Unattributed, it lands in whatever phase
+    # syncs first (it poisoned link_probe attributions for two rounds) and
+    # silently eats the section budget.
+    with _phase("first_sync"):
+        import jax as _jax
+
+        np.asarray(_jax.device_put(np.ones((8,), np.float32)) * 2.0)
     with _phase("model_build"):
         model, variables = _build_model_and_state()
     if opt.stages:
