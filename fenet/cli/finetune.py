@@ -23,6 +23,11 @@ def main(argv=None):
     parser.add_argument("--grid_w", type=int, default=64)
     parser.add_argument("--SIGMA_SQ", type=float, default=2.0)
     parser.add_argument("--OUTPUT_PCL_SIZE", type=int, default=1024)
+    parser.add_argument("--proj_squash", action="store_true",
+                        help="apply the CAPNet tanh composition to the splat "
+                             "silhouettes so the BCE term is bounded below "
+                             "(the reference's raw sum is not a probability; "
+                             "it never noticed — its projection is detached)")
     parser.set_defaults(nepoch=10, lr=5e-5, resume=True)
     opt = parser.parse_args(argv)
     print(opt)
@@ -34,6 +39,7 @@ def main(argv=None):
         cfg.grid_h, cfg.grid_w = opt.grid_h, opt.grid_w
         cfg.sigma_sq = opt.SIGMA_SQ
         cfg.output_pcl_size = opt.OUTPUT_PCL_SIZE
+        cfg.proj_squash = opt.proj_squash
         train_net(cat, cfg, loss_mode="finetune")
 
 

@@ -30,7 +30,8 @@ def apply_kernel(x: jnp.ndarray, sigma_sq: float = 0.5) -> jnp.ndarray:
 
 
 def cont_proj(
-    pcl: jnp.ndarray, grid_h: int, grid_w: int, sigma_sq: float = 0.5
+    pcl: jnp.ndarray, grid_h: int, grid_w: int, sigma_sq: float = 0.5,
+    squash: bool = False,
 ) -> jnp.ndarray:
     """Continuous (gaussian-splat) orthographic silhouette (projection.py:4-67).
 
@@ -39,6 +40,14 @@ def cont_proj(
     The reference materializes a (B, N, H, W, 2) kernel tensor; here the x and
     y gaussians are splatted separately and combined with one batched matmul
     (MXU), so peak memory is O(B*N*(H+W)) instead of O(B*N*H*W*2).
+
+    ``squash=True`` applies tanh to the kernel sum — the CAPNet composition
+    the reference's projection omits — mapping the silhouette into [0, 1) so
+    BCE on it is a proper (bounded-below) loss. The reference never noticed
+    the omission because it detaches the projection (no gradient flows);
+    measured on chip (docs/finetune_onchip_convergence.json), the raw-sum
+    bce_prob direction degrades CD/EMD reconstruction once genuinely
+    differentiated. Default stays the faithful raw sum.
     """
     x = (pcl[..., 0] + 1.0) * grid_h / 2.0  # (B, N)
     y = (pcl[..., 1] + 1.0) * grid_w / 2.0
@@ -47,8 +56,9 @@ def cont_proj(
     kx = apply_kernel(x[..., None] - gh[None, None, :], sigma_sq)  # (B, N, H)
     ky = apply_kernel(y[..., None] - gw[None, None, :], sigma_sq)  # (B, N, W)
     # sum_n kx[b,n,h] * ky[b,n,w] == kx^T @ ky per batch.
-    return jnp.einsum("bnh,bnw->bhw", kx, ky,
-                      preferred_element_type=jnp.float32)
+    out = jnp.einsum("bnh,bnw->bhw", kx, ky,
+                     preferred_element_type=jnp.float32)
+    return jnp.tanh(out) if squash else out
 
 
 def disc_proj(pcl: jnp.ndarray, grid_h: int, grid_w: int) -> jnp.ndarray:
@@ -115,6 +125,7 @@ def project_silhouettes(
     sigma_sq: float = 0.5,
     az: float = 0.0,
     el: float = 0.0,
+    squash: bool = False,
 ):
     """End-to-end transform() (utils/utils.py:180-243): project both the
     predicted and GT clouds to soft silhouettes.
@@ -137,6 +148,6 @@ def project_silhouettes(
         p, xm, ym, zm = average_pcl(p)
         p = outlier(p, xm, ym, zm)
         p = scale2one(p)
-        return cont_proj(p, grid_h, grid_w, sigma_sq)
+        return cont_proj(p, grid_h, grid_w, sigma_sq, squash=squash)
 
     return pipeline(pre_points), pipeline(points)

@@ -94,6 +94,11 @@ class TrainConfig:
     sigma_sq: float = 2.0
     output_pcl_size: int = 1024
     lambda_bce: float = 100.0
+    # Opt-in CAPNet tanh composition of the splat silhouette: maps it into
+    # [0, 1) so bce_prob is bounded below (the reference's raw sum is not a
+    # proper probability — harmless there since it detaches the projection;
+    # see fenet/geometry/projection.py cont_proj). Default: faithful raw sum.
+    proj_squash: bool = False
 
     # parallelism
     data_parallel: int = 1  # devices in the batch mesh axis

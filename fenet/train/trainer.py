@@ -89,7 +89,7 @@ def _trace_key(config: TrainConfig, loss_mode: str) -> tuple:
     )
     if loss_mode == "finetune":
         key += (config.lambda_bce, config.grid_h, config.grid_w,
-                config.sigma_sq)
+                config.sigma_sq, config.proj_squash)
     return key
 
 
@@ -205,7 +205,8 @@ class Trainer:
                     from fenet.losses.projection import get_loss_proj
 
                     proj_pred, proj_gt = project_silhouettes(
-                        pc3, points, cfg.grid_h, cfg.grid_w, cfg.sigma_sq
+                        pc3, points, cfg.grid_h, cfg.grid_w, cfg.sigma_sq,
+                        squash=cfg.proj_squash,
                     )
                     bce, _, _ = get_loss_proj(proj_pred, proj_gt, "bce_prob")
                     total = (

@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import scipy.spatial.distance
 
 from fenet.geometry.icp import align_pred_to_gt, batched_icp, best_fit_transform
@@ -222,3 +223,54 @@ def test_grid_dist_matches_scipy():
     grid = np.stack([x.ravel(), y.ravel()], 1)
     ref = scipy.spatial.distance.cdist(grid, grid).reshape(8, 8, 8, 8)
     np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.fast
+def test_cont_proj_squash_bounds_and_bce():
+    """--proj_squash (CAPNet tanh composition): silhouettes land in [0, 1)
+    so the bce_prob term is bounded below — the raw-sum default exceeds 1
+    under overlapping points and its BCE is not (PARITY.md #3)."""
+    import jax
+
+    from fenet.losses.projection import get_loss_proj
+
+    rng = np.random.RandomState(3)
+    # All points piled near the center: maximal splat overlap.
+    pcl = jnp.asarray(rng.randn(2, 256, 3).astype(np.float32) * 0.05)
+    raw = cont_proj(pcl, 16, 16, 0.5)
+    squashed = cont_proj(pcl, 16, 16, 0.5, squash=True)
+    assert float(raw.max()) > 1.0  # the premise: raw sums saturate
+    # [0, 1] closed in fp32: tanh of a large sum rounds to exactly 1.0;
+    # bce_prob's floored log keeps value and gradient finite there.
+    assert 0.0 <= float(squashed.min()) and float(squashed.max()) <= 1.0
+    np.testing.assert_allclose(
+        np.asarray(squashed), np.tanh(np.asarray(raw)), rtol=1e-5, atol=1e-6
+    )
+
+    # bce_prob on squashed silhouettes is bounded below by its value at
+    # gt==pred-ish configurations; concretely it stays finite and its
+    # gradient is finite at the saturation point where the raw-sum loss
+    # heads to -inf.
+    gt = cont_proj(pcl, 16, 16, 0.5, squash=True)
+
+    def loss(p):
+        out, _, _ = get_loss_proj(cont_proj(p, 16, 16, 0.5, squash=True),
+                                  gt, "bce_prob")
+        return out
+
+    val = float(loss(pcl))
+    g = jax.grad(loss)(pcl)
+    assert np.isfinite(val) and np.isfinite(np.asarray(g)).all()
+
+
+@pytest.mark.fast
+def test_project_silhouettes_squash_plumbs_through():
+    rng = np.random.RandomState(4)
+    pred = jnp.asarray(rng.rand(2, 64, 3) * 2 - 1, jnp.float32)
+    gt = jnp.asarray(rng.rand(2, 64, 3) * 2 - 1, jnp.float32)
+    sp_raw, _ = project_silhouettes(pred, gt, 32, 32)
+    sp_sq, sg_sq = project_silhouettes(pred, gt, 32, 32, squash=True)
+    np.testing.assert_allclose(
+        np.asarray(sp_sq), np.tanh(np.asarray(sp_raw)), rtol=1e-5, atol=1e-6
+    )
+    assert float(sp_sq.max()) <= 1.0 and float(sg_sq.max()) <= 1.0

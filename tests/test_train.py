@@ -283,3 +283,16 @@ def test_finetune_loss_mode():
     state, stats = trainer.train_step(state, images, points, epoch=1,
                                       lr=cfg.lr)
     assert np.isfinite(float(stats["total_loss"]))
+
+    # --proj_squash variant (CAPNet tanh composition): separate jitted
+    # program (the squash flag is in the step's hash key), finite loss.
+    import dataclasses
+
+    sq_trainer = Trainer(gen, dataclasses.replace(cfg, proj_squash=True),
+                         loss_mode="finetune")
+    sq_state = sq_trainer.init_state(
+        jax.random.PRNGKey(0), np.zeros((1, 128, 128, 3), np.float32)
+    )
+    _, sq_stats = sq_trainer.train_step(sq_state, images, points, epoch=1,
+                                        lr=cfg.lr)
+    assert np.isfinite(float(sq_stats["total_loss"]))
